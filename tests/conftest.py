@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding (dp/fsdp/tp/sp/ep) is validated on fake CPU devices
+because only one real TPU chip is available in CI; the same Mesh code runs
+unchanged on a real slice.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
