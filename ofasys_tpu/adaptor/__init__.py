@@ -1,0 +1,5 @@
+from ofasys_tpu.adaptor.base import AdaptorOutput, BaseAdaptor, BaseAdaptorConfig
+from ofasys_tpu.adaptor.general import GeneralAdaptor
+from ofasys_tpu.adaptor import text  # registers "text"
+
+__all__ = ["AdaptorOutput", "BaseAdaptor", "BaseAdaptorConfig", "GeneralAdaptor"]

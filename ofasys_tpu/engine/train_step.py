@@ -1,0 +1,112 @@
+"""The jitted training step.
+
+Replaces the reference's Trainer.train_step inner loop
+(ofasys/engine/trainer.py:737-956): one pure function
+``(state, batch, rng) -> (state, metrics)`` compiled once per task template.
+Gradient accumulation is a lax.scan over a leading microbatch axis
+(reference update_freq/GroupedIterator); gradients are summed raw and scaled
+once by the total sample size, making {1 big batch} == {k microbatches} ==
+{data-parallel shards} numerically identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation, ema: bool = False):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+            ema_params=jax.tree.map(lambda x: x, params) if ema else None,
+        )
+
+
+def make_train_step(
+    model,
+    criterion,
+    optimizer: optax.GradientTransformation,
+    update_freq: int = 1,
+    ema_decay: float = 0.0,
+    lr_schedule=None,
+) -> Callable:
+    """Build the train step; jit it with donate_argnums=(0,) at the call site
+    (parallel/api.py shards it over the mesh)."""
+
+    def loss_fn(params, sample, rng):
+        loss_sum, sample_size, logging = criterion(model, params, sample, rng, train=True)
+        return loss_sum, (sample_size, logging)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)
+
+        if update_freq == 1:
+            (_, (sample_size, logging)), grads = grad_fn(state.params, batch, rng)
+        else:
+            # batch leaves have leading dim = update_freq
+            def body(carry, mb_with_idx):
+                grads_acc, ss_acc, log_acc = carry
+                i, mb = mb_with_idx
+                (_, (ss, logging)), g = grad_fn(state.params, mb, jax.random.fold_in(rng, i))
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                log_acc = jax.tree.map(jnp.add, log_acc, logging)
+                return (grads_acc, ss_acc + ss, log_acc), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            mb0 = jax.tree.map(lambda x: x[0], batch)
+            (_, (ss0, log0)), g0 = grad_fn(state.params, mb0, jax.random.fold_in(rng, 0))
+            rest = jax.tree.map(lambda x: x[1:], batch)
+            idxs = jnp.arange(1, update_freq)
+            (grads, sample_size, logging), _ = jax.lax.scan(
+                body, (g0, ss0, log0), (idxs, rest)
+            )
+
+        # scale summed gradients by total sample size (multiply_grads parity)
+        scale = 1.0 / jnp.maximum(sample_size, 1.0)
+        grads = jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads)
+        gnorm = optax.global_norm(grads)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_decay > 0:
+            new_ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                state.ema_params, new_params,
+            )
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state, ema_params=new_ema
+        )
+        metrics = dict(logging)
+        metrics["gnorm"] = gnorm
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_valid_step(model, criterion) -> Callable:
+    def valid_step(params, batch):
+        _, _, logging = criterion(model, params, batch, rng=None, train=False)
+        return logging
+
+    return valid_step

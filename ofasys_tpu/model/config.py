@@ -1,0 +1,98 @@
+"""GeneralistModel configuration + arch presets.
+
+Mirrors the reference's GeneralistModelConfig surface (ofasys/model/ofa.py:40-121,
+module/transformer_config.py) with the default_model.yaml defaults baked in
+(pre-LN, learned positions, no embed scaling, layernorm_embedding, gelu,
+attn_scale_factor=2, scale_attn/fc/heads on). Arch presets follow
+ofasys/model/ofa.py:559-650.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ofasys_tpu.configure.configs import BaseDataclass
+
+
+@dataclass
+class TransformerStackConfig(BaseDataclass):
+    embed_dim: int = 256
+    ffn_embed_dim: int = 1024
+    layers: int = 4
+    attention_heads: int = 4
+    normalize_before: bool = True
+    learned_pos: bool = True
+    layerdrop: float = 0.0
+
+
+@dataclass
+class GeneralistModelConfig(BaseDataclass):
+    arch: str = "tiny"
+    encoder: TransformerStackConfig = field(default_factory=TransformerStackConfig)
+    decoder: TransformerStackConfig = field(default_factory=TransformerStackConfig)
+
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    activation_fn: str = "gelu"
+
+    max_source_positions: int = 1024
+    max_target_positions: int = 1024
+
+    share_all_embeddings: bool = True
+    share_decoder_input_output_embed: bool = True
+    no_scale_embedding: bool = True
+    layernorm_embedding: bool = True
+    add_type_embedding: bool = True
+    entangle_position_embedding: bool = False
+
+    attn_scale_factor: float = 2.0
+    scale_attn: bool = True
+    scale_fc: bool = True
+    scale_heads: bool = True
+    scale_resids: bool = False
+
+    use_self_attn_bias: bool = True
+    share_attn_bias: bool = False
+    modal_ffn: bool = False
+
+    encode_drop_path_rate: float = 0.0
+    decode_drop_path_rate: float = 0.0
+
+    # TPU execution knobs (no reference counterpart)
+    use_flash_attention: bool = True   # Pallas kernel when on TPU and shapes allow
+    remat: str = "none"                # 'none' | 'full' — per-layer jax.checkpoint
+    scan_layers: bool = False          # lax.scan over stacked layer params
+
+    def __post_init__(self):
+        if self.arch:
+            apply_arch(self, self.arch)
+
+
+_ARCH_TABLE = {
+    # name: (embed_dim, ffn_dim, enc_layers, dec_layers, heads)
+    "tiny": (256, 4 * 256, 4, 4, 4),
+    "medium": (512, 4 * 512, 4, 4, 8),
+    "base": (768, 4 * 768, 6, 6, 12),
+    "large": (1024, 4 * 1024, 12, 12, 16),
+    "huge": (1280, 4 * 1280, 24, 12, 16),
+    "asr_small": (256, 2048, 12, 6, 4),
+    "asr_base": (768, 4 * 768, 12, 6, 12),
+    "6b": (2560, 4 * 2560, 36, 24, 32),
+    "8b": (2560, 4 * 2560, 48, 36, 32),
+    "10b": (2816, 4 * 2816, 48, 36, 32),
+}
+
+
+def apply_arch(cfg: GeneralistModelConfig, arch: str):
+    if arch not in _ARCH_TABLE:
+        raise ValueError(f"unknown arch {arch!r}; available: {sorted(_ARCH_TABLE)}")
+    dim, ffn, enc_l, dec_l, heads = _ARCH_TABLE[arch]
+    cfg.arch = arch
+    cfg.encoder.embed_dim = cfg.decoder.embed_dim = dim
+    cfg.encoder.ffn_embed_dim = cfg.decoder.ffn_embed_dim = ffn
+    cfg.encoder.layers = enc_l
+    cfg.decoder.layers = dec_l
+    cfg.encoder.attention_heads = cfg.decoder.attention_heads = heads
+    return cfg

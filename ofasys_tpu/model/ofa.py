@@ -1,0 +1,242 @@
+"""GeneralistModel: one shared encoder-decoder over all modalities/tasks.
+
+Counterpart of ofasys/model/ofa.py:329-556. Split in two:
+
+  * :class:`GeneralistNet` — the flax module (pure function of params):
+    encoder GeneralAdaptor -> TransformerEncoder -> decoder GeneralAdaptor
+    -> TransformerDecoder -> output adaptor. Training forward, plus
+    ``encode`` / ``decode_prepare`` / ``decode_step`` for the jitted
+    generation loop (the reference's incremental_state dance becomes an
+    explicit KV-cache pytree).
+  * :class:`GeneralistModel` — the user-facing object with the reference's
+    lifecycle (``initialize(global_dict)`` after the vocab is final,
+    ``forward(slots)``), holding config + params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofasys_tpu.adaptor.general import GeneralAdaptor, resolve_adaptor_name
+from ofasys_tpu.configure import ConfigStore, register_config
+from ofasys_tpu.model.config import GeneralistModelConfig, apply_arch
+from ofasys_tpu.model.transformer import (
+    BiasSpec,
+    MultiheadAttention,
+    TransformerDecoder,
+    TransformerEncoder,
+)
+from ofasys_tpu.utils.pytree import SlotBatch
+
+
+@dataclasses.dataclass
+class EncoderOut:
+    """Pytree passed from encode to decode (reference encoder-out dict,
+    model/transformer.py:160-203)."""
+
+    x: jax.Array                    # (B, Ts, E)
+    padding_mask: jax.Array         # (B, Ts) True = pad
+    pos_embed: jax.Array            # (B|1, Ts, E)
+
+
+jax.tree_util.register_dataclass(
+    EncoderOut, data_fields=["x", "padding_mask", "pos_embed"], meta_fields=[]
+)
+
+
+class GeneralistNet(nn.Module):
+    cfg: GeneralistModelConfig
+    vocab_size: int
+    pad_id: int
+    active_adaptors: Tuple[str, ...]
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        E = cfg.encoder.embed_dim
+        # BERT-style init (reference model/ofa.py init_bert_params usage)
+        self.embed_tokens = nn.Embed(
+            self.vocab_size, E, param_dtype=jnp.float32, dtype=self.dtype,
+            embedding_init=nn.initializers.normal(0.02), name="embed_tokens",
+        )
+        self.encoder_adaptor = GeneralAdaptor(
+            cfg, True, self.embed_tokens, self.active_adaptors, self.pad_id,
+            dtype=self.dtype, name="encoder_adaptor",
+        )
+        self.decoder_adaptor = GeneralAdaptor(
+            cfg, False, self.embed_tokens, self.active_adaptors, self.pad_id,
+            dtype=self.dtype, name="decoder_adaptor",
+        )
+        self.encoder = TransformerEncoder(cfg, dtype=self.dtype, name="encoder")
+        self.decoder = TransformerDecoder(cfg, dtype=self.dtype, name="decoder")
+        if cfg.use_self_attn_bias:
+            # cross-attention absolute-position bias (reference
+            # model/transformer.py:239-299), shared across decoder layers
+            self.cross_pos_q_linear = nn.Dense(E, dtype=self.dtype, param_dtype=jnp.float32)
+            self.cross_pos_k_linear = nn.Dense(E, dtype=self.dtype, param_dtype=jnp.float32)
+            heads = cfg.decoder.attention_heads
+            self.cross_pos_scaling = float(E / heads * cfg.attn_scale_factor) ** -0.5
+
+    # ------------------------------------------------------------- helpers
+    def cross_bias(self, tgt_pos_embed: jax.Array, src_pos_embed: jax.Array) -> Optional[jax.Array]:
+        if not self.cfg.use_self_attn_bias:
+            return None
+        H = self.cfg.decoder.attention_heads
+        Bq, Tq = tgt_pos_embed.shape[:2]
+        Bk, Tk = src_pos_embed.shape[:2]
+        B = max(Bq, Bk)
+        pos_q = self.cross_pos_q_linear(tgt_pos_embed).reshape(Bq, Tq, H, -1) * self.cross_pos_scaling
+        pos_k = self.cross_pos_k_linear(src_pos_embed).reshape(Bk, Tk, H, -1)
+        if Bq != Bk:
+            pos_q = jnp.broadcast_to(pos_q, (B,) + pos_q.shape[1:])
+            pos_k = jnp.broadcast_to(pos_k, (B,) + pos_k.shape[1:])
+        return jnp.einsum("bqhd,bkhd->bhqk", pos_q, pos_k, preferred_element_type=jnp.float32)
+
+    # -------------------------------------------------------------- encode
+    def encode(self, src_slots: List[SlotBatch], deterministic: bool = True) -> EncoderOut:
+        a = self.encoder_adaptor(src_slots, deterministic=deterministic)
+        x = self.encoder(
+            a.embed,
+            padding_mask=jnp.logical_not(a.padding_mask),
+            bias_spec=a.bias_spec,
+            deterministic=deterministic,
+            modal_spans=a.modal_spans if self.cfg.modal_ffn else None,
+        )
+        return EncoderOut(x=x, padding_mask=a.padding_mask, pos_embed=a.pos_embed)
+
+    # ------------------------------------------------------ training forward
+    def __call__(
+        self,
+        slots: List[SlotBatch],
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Dict[str, Any]]:
+        """Full forward: returns (output, extra); for text-like targets the
+        output is vocab logits (B, Tt, V)."""
+        src_slots = SlotBatch.source_slots(slots)
+        tgt_slots = [s for s in slots if not s.is_src]
+        enc = self.encode(src_slots, deterministic=deterministic) if src_slots else None
+
+        d = self.decoder_adaptor(tgt_slots, deterministic=deterministic)
+        cb = None
+        if enc is not None:
+            cb = self.cross_bias(d.pos_embed, enc.pos_embed)
+        x, _ = self.decoder(
+            d.embed,
+            enc.x if enc is not None else None,
+            self_padding_mask=jnp.logical_not(d.padding_mask),
+            encoder_padding_mask=None if enc is None else jnp.logical_not(enc.padding_mask),
+            self_bias_spec=d.bias_spec,
+            cross_bias=cb,
+            deterministic=deterministic,
+            modal_spans=d.modal_spans if self.cfg.modal_ffn else None,
+        )
+        extra: Dict[str, Any] = {"decoder_hidden": x}
+        out, extra = self.decoder_adaptor.forward_output(x, extra, slots)
+        return out, extra
+
+    # ------------------------------------------------- incremental decoding
+    def decode_prepare(
+        self,
+        tgt_slots: List[SlotBatch],
+        enc: EncoderOut,
+        max_len: int,
+    ):
+        """Build decode-time constants: full-length self BiasSpec, cross bias,
+        and the KV cache. tgt_slots carry dummy (B, max_len) token values."""
+        d = self.decoder_adaptor(tgt_slots, deterministic=True)
+        cb = self.cross_bias(d.pos_embed, enc.pos_embed)
+        cfg = self.cfg
+        head_dim = cfg.decoder.embed_dim // cfg.decoder.attention_heads
+        B = enc.x.shape[0]
+        cache = {}
+        for i in range(cfg.decoder.layers):
+            cache[f"layers_{i}"] = {
+                "self": MultiheadAttention.init_cache(
+                    B, max_len, cfg.decoder.attention_heads, head_dim, self.dtype
+                )
+            }
+        return d.bias_spec, cb, cache
+
+    def decode_step(
+        self,
+        tokens: jax.Array,            # (B, S) current step token(s)
+        step: jax.Array,              # scalar int32 — absolute position
+        enc: EncoderOut,
+        bias_spec: Optional[BiasSpec],
+        cross_bias: Optional[jax.Array],
+        cache: Dict[str, Any],
+        tgt_slot: SlotBatch,
+    ):
+        """One decode step: returns (logits (B, S, V), new_cache)."""
+        step_slot = dataclasses.replace(
+            tgt_slot, value={"inputs": tokens, "pos_offset": step}
+        )
+        d = self.decoder_adaptor([step_slot], deterministic=True)
+        x, new_cache = self.decoder(
+            d.embed,
+            enc.x,
+            self_padding_mask=None,
+            encoder_padding_mask=jnp.logical_not(enc.padding_mask),
+            self_bias_spec=bias_spec,
+            cross_bias=cross_bias,
+            deterministic=True,
+            cache=cache,
+            cache_index=step,
+        )
+        extra: Dict[str, Any] = {}
+        out, extra = self.decoder_adaptor.forward_output(x, extra, [step_slot])
+        return out, new_cache
+
+
+@register_config("ofasys.model", "unify", GeneralistModelConfig)
+class GeneralistModel:
+    """User-facing model object (reference model/ofa.py:329).
+
+    Lifecycle:
+        model = GeneralistModel(arch="base")
+        model.initialize(global_dict, active_adaptors=("text", ...))
+        params = model.init_params(rng, sample_slots)
+        logits, extra = model.apply(params, slots, ...)
+    """
+
+    def __init__(self, cfg: Optional[GeneralistModelConfig] = None, arch: Optional[str] = None, **kwargs):
+        if cfg is None:
+            cfg = ConfigStore().get("ofasys.model", "unify").config
+        self.cfg = cfg
+        if arch:
+            apply_arch(self.cfg, arch)
+        if kwargs:
+            self.cfg.update(**kwargs)
+        self.net: Optional[GeneralistNet] = None
+        self.global_dict = None
+
+    # ------------------------------------------------------------ lifecycle
+    def initialize(self, global_dict, active_adaptors: Tuple[str, ...] = ("text",), dtype=jnp.bfloat16):
+        """Build the flax module once the vocab is final
+        (reference model/ofa.py:349-377)."""
+        self.global_dict = global_dict
+        self.net = GeneralistNet(
+            cfg=self.cfg,
+            vocab_size=len(global_dict),
+            pad_id=global_dict.pad(),
+            active_adaptors=tuple(active_adaptors),
+            dtype=dtype,
+        )
+        return self
+
+    def init_params(self, rng, sample_slots: List[SlotBatch]):
+        assert self.net is not None, "call initialize(global_dict) first"
+        return self.net.init({"params": rng}, sample_slots, deterministic=True)["params"]
+
+    def apply(self, params, slots: List[SlotBatch], deterministic: bool = True, rngs=None):
+        return self.net.apply({"params": params}, slots, deterministic=deterministic, rngs=rngs)
+
+    @property
+    def num_params(self):
+        return None

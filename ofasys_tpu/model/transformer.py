@@ -1,0 +1,446 @@
+"""Unified transformer encoder/decoder (flax.linen).
+
+TPU-first re-design of the reference stack (ofasys/model/transformer.py,
+ofasys/module/transformer_layer.py, ofasys/module/multihead_attention.py):
+
+  * batch-major (B, T, E) everywhere; matmuls in bf16 with fp32 accumulators.
+  * relative-position bias is NOT materialized per layer up front: layers
+    receive a static (T, T) bucket matrix plus stacked per-layer tables and
+    gather the bias lazily right where attention consumes it.
+  * incremental decoding uses an explicit KV-cache pytree (no module state),
+    so the whole decode loop jits as a lax.while_loop.
+  * normformer options of the reference ("unify" model defaults): pre-LN,
+    scale_attn (post-attention LN), scale_fc (mid-FFN LN), scale_heads
+    (per-head output scaling), scale_resids; q-scaling is
+    (head_dim * attn_scale_factor) ** -0.5 with scale_factor=2
+    (reference multihead_attention.py:54).
+
+Parity-critical numerics: LayerNorm eps 1e-5 (torch default), exact
+(erf-based) gelu (torch F.gelu default), fp32 softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofasys_tpu.model.config import GeneralistModelConfig
+from ofasys_tpu.ops.attention import causal_mask, dot_product_attention
+
+LN_EPS = 1e-5
+
+
+def get_activation_fn(name: str) -> Callable:
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_fast" or name == "gelu_accurate":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "tanh":
+        return jnp.tanh
+    if name == "linear":
+        return lambda x: x
+    raise ValueError(f"unknown activation {name!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class BiasSpec:
+    """Lazy self-attention bias: per-layer relative tables + shared absolute
+    position bias. ``bucket`` is a host-side constant (static per template);
+    tables come from adaptor params.
+
+    bucket: (T, T) int32 — indexes into the combined table's bucket axis
+            (row 0 of the table is the zero/no-bias bucket).
+    tables: (n_tables, n_buckets, H) — n_tables is 1 (shared) or n_layers.
+    abs_bias: (B or 1, H, T, T) or None — abs-position q/k bias, layer-shared.
+    """
+
+    bucket: Optional[np.ndarray] = None
+    tables: Optional[jax.Array] = None
+    abs_bias: Optional[jax.Array] = None
+
+    def layer_bias(self, layer_idx: int, rows: Optional[slice] = None) -> Optional[jax.Array]:
+        """Additive bias for one layer, shape (B|1, H, Tq, Tk). ``rows``
+        selects query rows for incremental decoding."""
+        out = None
+        if self.tables is not None and self.bucket is not None:
+            n_tables = self.tables.shape[0]
+            bucket = self.bucket if rows is None else self.bucket[rows]
+            rel = self.tables[min(layer_idx, n_tables - 1)][jnp.asarray(bucket)]
+            out = jnp.transpose(rel, (2, 0, 1))[None]  # (1, H, Tq, Tk)
+        if self.abs_bias is not None:
+            ab = self.abs_bias if rows is None else self.abs_bias[:, :, rows]
+            out = ab if out is None else out + ab
+        return out
+
+
+class MultiheadAttention(nn.Module):
+    """QKV attention with additive bias, per-head output scaling, and an
+    explicit KV cache (reference module/multihead_attention.py:21-455)."""
+
+    embed_dim: int
+    num_heads: int
+    scale_factor: float = 2.0
+    scale_heads: bool = True
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,                      # (B, Tq, E)
+        key_value: Optional[jax.Array] = None, # (B, Tk, E); None = self-attn
+        *,
+        bias: Optional[jax.Array] = None,      # additive (B|1, H, Tq, Tk)
+        mask: Optional[jax.Array] = None,      # bool keep-mask (B|1, 1|H, Tq, Tk)
+        deterministic: bool = True,
+        cache: Optional[Dict[str, jax.Array]] = None,
+        static_kv: bool = False,
+    ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+        head_dim = self.embed_dim // self.num_heads
+        scaling = float(head_dim * self.scale_factor) ** -0.5
+        kv_in = query if key_value is None else key_value
+
+        dense = lambda name: nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = dense("q_proj")(query)
+        B, Tq = q.shape[:2]
+        q = q.reshape(B, Tq, self.num_heads, head_dim)
+
+        if cache is not None and static_kv:
+            # cross-attention at decode time: k/v computed once, reused
+            k, v = cache["k"], cache["v"]
+        else:
+            k = dense("k_proj")(kv_in).reshape(B, kv_in.shape[1], self.num_heads, head_dim)
+            v = dense("v_proj")(kv_in).reshape(B, kv_in.shape[1], self.num_heads, head_dim)
+            if cache is not None:
+                # incremental self-attention: write the new step(s) at cache index
+                idx = cache["index"]
+                k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
+                v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+                cache = {"k": k, "v": v, "index": idx + Tq}
+                # mask out not-yet-written cache positions
+                Tk = k.shape[1]
+                valid = jnp.arange(Tk)[None, None, None, :] < cache["index"]
+                mask = valid if mask is None else jnp.logical_and(mask, valid)
+
+        dropout_rng = None
+        if not deterministic and self.dropout > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        x = dot_product_attention(
+            q, k, v,
+            bias=bias, mask=mask, scale=scaling,
+            dropout_rate=self.dropout, dropout_rng=dropout_rng,
+            dtype=self.dtype,
+        )
+        if self.scale_heads:
+            c_attn = self.param("c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32)
+            x = x * c_attn.astype(self.dtype)[None, None, :, None]
+        x = x.reshape(B, Tq, self.embed_dim)
+        x = dense("out_proj")(x)
+        return x, cache
+
+    @staticmethod
+    def init_cache(batch: int, max_len: int, num_heads: int, head_dim: int, dtype=jnp.bfloat16):
+        return {
+            "k": jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
+            "v": jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
+            "index": jnp.zeros((), jnp.int32),
+        }
+
+
+class DropPath(nn.Module):
+    """Stochastic depth on the residual branch (reference module/droppath.py)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class FeedForward(nn.Module):
+    """FFN with optional mid-LN (scale_fc) and per-modality experts.
+
+    modal_ffn TPU design: slot spans in the concatenated sequence are static
+    (they come from the task template), so expert routing is static slicing —
+    each contiguous span runs through its modality's expert with zero
+    dispatch overhead, instead of the reference's SparseDispatcher gather /
+    scatter (module/transformer_layer.py:117-130).
+    """
+
+    cfg: GeneralistModelConfig
+    ffn_dim: int
+    embed_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        modal_spans: Optional[Tuple[Tuple[int, int, int], ...]] = None,
+    ):
+        act = get_activation_fn(self.cfg.activation_fn)
+        dense = lambda feat, name: nn.Dense(feat, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        act_drop = nn.Dropout(self.cfg.activation_dropout)
+
+        def run(x, fc1_name, fc2_name):
+            h = act(dense(self.ffn_dim, fc1_name)(x))
+            h = act_drop(h, deterministic=deterministic)
+            if self.cfg.scale_fc:
+                h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=fc2_name + "_ln")(h)
+            return dense(self.embed_dim, fc2_name)(h)
+
+        if not self.cfg.modal_ffn or not modal_spans:
+            return run(x, "fc1", "fc2")
+        outs = []
+        for (start, end, modal_id) in modal_spans:
+            seg = x[:, start:end]
+            outs.append(run(seg, f"experts_fc1_{modal_id}", f"experts_fc2_{modal_id}"))
+        return jnp.concatenate(outs, axis=1)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-LN encoder block with normformer extras
+    (reference module/transformer_layer.py:18-211)."""
+
+    cfg: GeneralistModelConfig
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        mask: Optional[jax.Array] = None,
+        bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        modal_spans=None,
+    ):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
+        dropout = nn.Dropout(cfg.dropout)
+        drop_path = DropPath(self.drop_path_rate)
+
+        residual = x
+        h = ln("self_attn_layer_norm")(x) if cfg.encoder.normalize_before else x
+        h, _ = MultiheadAttention(
+            cfg.encoder.embed_dim, cfg.encoder.attention_heads,
+            scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
+            dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
+        )(h, bias=bias, mask=mask, deterministic=deterministic)
+        if cfg.scale_attn:
+            h = ln("attn_ln")(h)
+        h = dropout(h, deterministic=deterministic)
+        x = residual + drop_path(h, deterministic=deterministic)
+        if not cfg.encoder.normalize_before:
+            x = ln("self_attn_layer_norm")(x)
+
+        residual = x
+        h = ln("final_layer_norm")(x) if cfg.encoder.normalize_before else x
+        h = FeedForward(cfg, cfg.encoder.ffn_embed_dim, cfg.encoder.embed_dim,
+                        dtype=self.dtype, name="ffn")(h, deterministic, modal_spans)
+        h = dropout(h, deterministic=deterministic)
+        if cfg.scale_resids:
+            w_resid = self.param("w_resid", nn.initializers.ones, (cfg.encoder.embed_dim,), jnp.float32)
+            residual = residual * w_resid.astype(self.dtype)
+        x = residual + drop_path(h, deterministic=deterministic)
+        if not cfg.encoder.normalize_before:
+            x = ln("final_layer_norm")(x)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Pre-LN decoder block: causal self-attention + cross-attention + FFN
+    (reference module/transformer_layer.py:212+)."""
+
+    cfg: GeneralistModelConfig
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        encoder_out: Optional[jax.Array] = None,
+        *,
+        self_mask: Optional[jax.Array] = None,
+        self_bias: Optional[jax.Array] = None,
+        cross_mask: Optional[jax.Array] = None,
+        cross_bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        cache: Optional[Dict[str, Any]] = None,
+        modal_spans=None,
+    ):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
+        dropout = nn.Dropout(cfg.dropout)
+        drop_path = DropPath(self.drop_path_rate)
+        new_cache: Dict[str, Any] = {}
+
+        residual = x
+        h = ln("self_attn_layer_norm")(x) if cfg.decoder.normalize_before else x
+        h, self_kv = MultiheadAttention(
+            cfg.decoder.embed_dim, cfg.decoder.attention_heads,
+            scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
+            dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
+        )(h, bias=self_bias, mask=self_mask, deterministic=deterministic,
+          cache=None if cache is None else cache["self"])
+        if cache is not None:
+            new_cache["self"] = self_kv
+        if cfg.scale_attn:
+            h = ln("self_attn_ln")(h)
+        h = dropout(h, deterministic=deterministic)
+        x = residual + drop_path(h, deterministic=deterministic)
+        if not cfg.decoder.normalize_before:
+            x = ln("self_attn_layer_norm")(x)
+
+        if encoder_out is not None:
+            residual = x
+            h = ln("encoder_attn_layer_norm")(x) if cfg.decoder.normalize_before else x
+            h, cross_kv = MultiheadAttention(
+                cfg.decoder.embed_dim, cfg.decoder.attention_heads,
+                scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
+                dropout=cfg.attention_dropout, dtype=self.dtype, name="encoder_attn",
+            )(h, encoder_out, bias=cross_bias, mask=cross_mask,
+              deterministic=deterministic,
+              cache=None if cache is None else cache.get("cross"), static_kv=True)
+            if cache is not None and "cross" in cache:
+                new_cache["cross"] = cache["cross"]
+            if cfg.scale_attn:
+                h = ln("cross_attn_ln")(h)
+            h = dropout(h, deterministic=deterministic)
+            x = residual + drop_path(h, deterministic=deterministic)
+            if not cfg.decoder.normalize_before:
+                x = ln("encoder_attn_layer_norm")(x)
+
+        residual = x
+        h = ln("final_layer_norm")(x) if cfg.decoder.normalize_before else x
+        h = FeedForward(cfg, cfg.decoder.ffn_embed_dim, cfg.decoder.embed_dim,
+                        dtype=self.dtype, name="ffn")(h, deterministic, modal_spans)
+        h = dropout(h, deterministic=deterministic)
+        if cfg.scale_resids:
+            w_resid = self.param("w_resid", nn.initializers.ones, (cfg.decoder.embed_dim,), jnp.float32)
+            residual = residual * w_resid.astype(self.dtype)
+        x = residual + drop_path(h, deterministic=deterministic)
+        if not cfg.decoder.normalize_before:
+            x = ln("final_layer_norm")(x)
+        return x, (new_cache if cache is not None else None)
+
+
+class TransformerEncoder(nn.Module):
+    """Layer stack over already-adapted embeddings
+    (reference model/transformer.py:33-203; adaptors run outside)."""
+
+    cfg: GeneralistModelConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                 # (B, T, E) adapted embeddings
+        padding_mask: jax.Array,      # (B, T) bool, True = valid
+        bias_spec: Optional[BiasSpec] = None,
+        deterministic: bool = True,
+        modal_spans=None,
+    ):
+        cfg = self.cfg
+        attn_mask = padding_mask[:, None, None, :]  # keys masked; queries padded rows are garbage-but-masked downstream
+        n_layers = cfg.encoder.layers
+        dpr = np.linspace(0.0, cfg.encode_drop_path_rate, n_layers)
+        layer_cls = TransformerEncoderLayer
+        if cfg.remat == "full":
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4,))
+        for i in range(n_layers):
+            layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
+            bias = bias_spec.layer_bias(i) if bias_spec is not None else None
+            x = layer(x, mask=attn_mask, bias=bias, deterministic=deterministic, modal_spans=modal_spans)
+        if cfg.encoder.normalize_before:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder stack; supports full-sequence (training) and incremental
+    (generation) modes via the explicit cache
+    (reference model/transformer.py:206-539)."""
+
+    cfg: GeneralistModelConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                       # (B, Tt, E) adapted target embeddings
+        encoder_out: Optional[jax.Array],   # (B, Ts, E)
+        *,
+        self_padding_mask: Optional[jax.Array] = None,   # (B, Tt)
+        encoder_padding_mask: Optional[jax.Array] = None, # (B, Ts)
+        self_bias_spec: Optional[BiasSpec] = None,
+        cross_bias: Optional[jax.Array] = None,           # (B|1, H, Tt, Ts)
+        deterministic: bool = True,
+        cache: Optional[Dict[str, Any]] = None,
+        cache_index: Optional[jax.Array] = None,
+        modal_spans=None,
+    ):
+        cfg = self.cfg
+        B, Tt = x.shape[:2]
+
+        if cache is None:
+            self_mask = causal_mask(Tt, Tt)
+            if self_padding_mask is not None:
+                self_mask = jnp.logical_and(self_mask, self_padding_mask[:, None, None, :])
+            rows = None
+        else:
+            # incremental: queries are the current step(s); keys = cache
+            self_mask = None  # cache validity mask added inside MultiheadAttention
+            rows = cache_index
+
+        cross_mask = None
+        if encoder_padding_mask is not None:
+            cross_mask = encoder_padding_mask[:, None, None, :]
+
+        n_layers = cfg.decoder.layers
+        dpr = np.linspace(0.0, cfg.decode_drop_path_rate, n_layers)
+        new_cache: Dict[str, Any] = {} if cache is not None else None
+        for i in range(n_layers):
+            if self_bias_spec is not None:
+                if cache is None:
+                    self_bias = self_bias_spec.layer_bias(i)
+                else:
+                    # gather the bias row(s) for the current decode position
+                    full = self_bias_spec.layer_bias(i)  # (1, H, Tmax, Tmax)
+                    self_bias = jax.lax.dynamic_slice_in_dim(full, cache_index, Tt, axis=2)
+            else:
+                self_bias = None
+            cb = cross_bias
+            if cb is not None and cache is not None:
+                cb = jax.lax.dynamic_slice_in_dim(cb, cache_index, Tt, axis=2)
+            layer = TransformerDecoderLayer(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
+            x, layer_cache = layer(
+                x, encoder_out,
+                self_mask=self_mask, self_bias=self_bias,
+                cross_mask=cross_mask, cross_bias=cb,
+                deterministic=deterministic,
+                cache=None if cache is None else cache[f"layers_{i}"],
+                modal_spans=modal_spans,
+            )
+            if cache is not None:
+                new_cache[f"layers_{i}"] = layer_cache
+        if cfg.decoder.normalize_before:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x)
+        return x, new_cache
