@@ -232,7 +232,12 @@ class GeneralistModel:
 
     def init_params(self, rng, sample_slots: List[SlotBatch]):
         assert self.net is not None, "call initialize(global_dict) first"
-        return self.net.init({"params": rng}, sample_slots, deterministic=True)["params"]
+        # jit the whole init: one compiled program instead of one dispatch per
+        # parameter (matters on remote/tunneled devices)
+        init = jax.jit(
+            lambda r, slots: self.net.init({"params": r}, slots, deterministic=True)["params"]
+        )
+        return init(rng, sample_slots)
 
     def apply(self, params, slots: List[SlotBatch], deterministic: bool = True, rngs=None):
         return self.net.apply({"params": params}, slots, deterministic=deterministic, rngs=rngs)

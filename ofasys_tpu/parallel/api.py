@@ -1,0 +1,66 @@
+"""SPMD entry points: shard state + batch, jit the train step over the mesh.
+
+The reference reached multi-device training through wrapper classes and
+explicit NCCL calls in Trainer (engine/trainer.py:835-880); here the SAME
+pure train step is jit-compiled with NamedShardings and XLA inserts every
+collective (grad psum over data/fsdp, all-gathers for fsdp params,
+tensor-parallel reduces) — see SURVEY §2.10 for the mapping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ofasys_tpu.parallel.mesh import BATCH_AXES, batch_sharding, build_mesh
+from ofasys_tpu.parallel.sharding import tree_shardings
+
+
+def make_sharded_train_step(
+    train_step: Callable,
+    mesh: Mesh,
+    state_example: Any,
+    batch_example: Any,
+    update_freq: int = 1,
+    rules=None,
+    donate: bool = True,
+):
+    """jit `train_step(state, batch, rng) -> (state, metrics)` with:
+    - state sharded by rule table (params + mirrored optimizer moments)
+    - batch sharded on dim 0 (or dim 1 under a leading microbatch axis)
+      over the data+fsdp axes
+    - metrics replicated
+    """
+    state_sh = tree_shardings(state_example, mesh, rules)
+    b_sh = batch_sharding(mesh, extra_leading_dims=1 if update_freq > 1 else 0)
+
+    def batch_leaf_sharding(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0:
+            return NamedSharding(mesh, P())
+        return b_sh
+
+    batch_sh = jax.tree.map(batch_leaf_sharding, batch_example)
+    rng_sh = NamedSharding(mesh, P())
+
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sh, batch_sh, rng_sh),
+        out_shardings=(state_sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def put_batch(batch: Any, mesh: Mesh, update_freq: int = 1):
+    """Host numpy batch -> device, sharded over the data axes."""
+    b_sh = batch_sharding(mesh, extra_leading_dims=1 if update_freq > 1 else 0)
+
+    def put(leaf):
+        if getattr(leaf, "ndim", 0) == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return jax.device_put(leaf, b_sh)
+
+    return jax.tree.map(put, batch)
