@@ -1,0 +1,272 @@
+"""Jitted beam search over the GeneralistModel.
+
+Replaces the reference's python-stateful fairseq beam loop
+(ofasys/generator/sequence_generator.py:66-778) with a single
+lax.while_loop compiled once per (batch, beam, max_len) shape:
+
+  * encoder runs once; encoder-out is beam-expanded to B*K rows
+  * the decoder KV cache is an explicit pytree reordered with one gather per
+    step (the reference's reorder_incremental_state)
+  * EOS is force-selected at the final step, so exactly K finished
+    hypotheses always exist (the reference's unfinished-finalization path)
+  * vocab shaping (min-len, constraint ranges, n-gram blocking, prefix
+    forcing) are pure logit transforms from generator/search.py
+
+Greedy decode is beam_size=1 (bit-identical argmax path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofasys_tpu.generator import search
+from ofasys_tpu.generator.base import SequenceGeneratorOutput
+from ofasys_tpu.model.ofa import EncoderOut
+from ofasys_tpu.utils.pytree import SlotBatch
+
+NEG_INF = search.NEG_INF
+
+
+def _expand_beam(tree, beam_size: int):
+    """(B, ...) -> (B*K, ...) by repeat-interleave on dim 0; dim-1 leaves
+    (shared position embeddings / biases) are left broadcastable."""
+
+    def f(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] == 1:
+            return x
+        return jnp.repeat(x, beam_size, axis=0)
+
+    return jax.tree.map(f, tree)
+
+
+def _gather_beams(tree, beam_idx: jax.Array, batch: int, beam_size: int):
+    """Reorder (B*K, ...) leaves by per-batch beam indices (B, K_new)."""
+
+    def f(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        if x.shape[0] == 1:  # broadcast leaf, nothing to reorder
+            return x
+        y = x.reshape((batch, beam_size) + x.shape[1:])
+        idx = beam_idx.reshape(batch, -1)
+        y = jnp.take_along_axis(
+            y, idx.reshape(idx.shape + (1,) * (y.ndim - 2)), axis=1
+        )
+        return y.reshape((-1,) + x.shape[1:])
+
+    return jax.tree.map(f, tree)
+
+
+class SequenceGenerator:
+    """Configured per task (reference task/base.py:464-570 dispatch)."""
+
+    def __init__(
+        self,
+        model,                       # GeneralistModel (initialized)
+        dictionary,
+        beam_size: int = 5,
+        max_len_a: float = 0.0,
+        max_len_b: int = 200,
+        min_len: int = 1,
+        temperature: float = 1.0,
+        lenpen: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        constraint_range: Optional[str] = None,
+        sampling: bool = False,
+        sampling_topk: int = -1,
+        sampling_topp: float = -1.0,
+        return_n_best: int = 1,
+    ):
+        self.model = model
+        self.dictionary = dictionary
+        self.bos = dictionary.bos()
+        self.eos = dictionary.eos()
+        self.pad = dictionary.pad()
+        self.beam_size = beam_size
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
+        self.min_len = min_len
+        self.temperature = temperature
+        self.lenpen = lenpen
+        self.ngram = no_repeat_ngram_size
+        self.sampling = sampling
+        self.sampling_topk = sampling_topk
+        self.sampling_topp = sampling_topp
+        self.return_n_best = max(1, return_n_best)
+        self.constraint_start = self.constraint_end = None
+        if constraint_range:
+            lo, hi = constraint_range.split(",")
+            self.constraint_start, self.constraint_end = int(lo), int(hi)
+        self._compiled: Dict[Any, Any] = {}
+
+    # ----------------------------------------------------------- public API
+    def generate(self, params, sample: Dict[str, Any], prefix_tokens: Optional[np.ndarray] = None,
+                 seed: int = 0) -> List[List[SequenceGeneratorOutput]]:
+        slots = sample["net_input"]["slots"]
+        src_slots = [s for s in slots if s.is_src]
+        tgt_slot = SlotBatch.target_slot(slots)
+        B = src_slots[0].value["inputs"].shape[0] if isinstance(src_slots[0].value, dict) else \
+            next(iter(src_slots[0].value.values())).shape[0]
+        max_len = int(self.max_len_a * 0 + self.max_len_b)
+
+        P = 0
+        if prefix_tokens is None and sample.get("prefix_tokens") is not None:
+            pt = np.asarray(sample["prefix_tokens"])
+            if pt.size and pt.shape[1] > 0:
+                prefix_tokens = pt
+        if prefix_tokens is not None:
+            prefix_tokens = np.asarray(prefix_tokens, np.int32)
+            P = prefix_tokens.shape[1]
+        else:
+            prefix_tokens = np.zeros((B, 0), np.int32)
+
+        key = (B, max_len, P, self.beam_size, self.sampling)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                functools.partial(self._generate, max_len=max_len, prefix_len=P)
+            )
+        seqs, scores = self._compiled[key](params, src_slots, tgt_slot, jnp.asarray(prefix_tokens),
+                                           jax.random.PRNGKey(seed))
+        return self._finalize(np.asarray(seqs), np.asarray(scores))
+
+    def _finalize(self, seqs: np.ndarray, scores: np.ndarray) -> List[List[SequenceGeneratorOutput]]:
+        out: List[List[SequenceGeneratorOutput]] = []
+        for b in range(seqs.shape[0]):
+            order = np.argsort(-scores[b])[: self.return_n_best]
+            hyps = []
+            for k in order:
+                toks = seqs[b, k, 1:]  # drop bos
+                eos_pos = np.nonzero(toks == self.eos)[0]
+                if eos_pos.size:
+                    toks = toks[: eos_pos[0] + 1]
+                hyps.append(SequenceGeneratorOutput(tokens=toks, score=float(scores[b, k])))
+            out.append(hyps)
+        return out
+
+    # --------------------------------------------------------------- jitted
+    def _generate(self, params, src_slots, tgt_slot, prefix_tokens, rng, *, max_len: int, prefix_len: int):
+        net = self.model.net
+        K = self.beam_size
+        enc = net.apply({"params": params}, src_slots, method=net.encode)
+        B = enc.x.shape[0]
+        N = B * K
+        enc = EncoderOut(
+            x=_expand_beam(enc.x, K),
+            padding_mask=_expand_beam(enc.padding_mask, K),
+            pos_embed=enc.pos_embed,  # batch-1, broadcastable
+        )
+        T_buf = max_len + 2
+        dummy = dataclasses.replace(
+            tgt_slot, value={"inputs": jnp.zeros((N, T_buf), jnp.int32)}
+        )
+        bias_spec, cross_bias, cache = net.apply(
+            {"params": params}, [dummy], enc, T_buf, method=net.decode_prepare
+        )
+
+        seq = jnp.full((B, K, T_buf), self.pad, jnp.int32).at[:, :, 0].set(self.bos)
+        alive_lp = jnp.tile(jnp.asarray([[0.0] + [NEG_INF] * (K - 1)]), (B, 1))  # only beam 0 alive at start
+        fin_seq = jnp.zeros_like(seq)
+        fin_scores = jnp.full((B, K), NEG_INF)
+        fin_flags = jnp.zeros((B, K), bool)
+
+        def step_logits(carry_seq, step, cache):
+            tokens = jax.lax.dynamic_slice_in_dim(
+                carry_seq.reshape(N, T_buf), step, 1, axis=1
+            )
+            logits, new_cache = net.apply(
+                {"params": params}, tokens, step, enc, bias_spec, cross_bias, cache,
+                tgt_slot, method=net.decode_step,
+            )
+            return logits[:, -1].astype(jnp.float32), new_cache
+
+        def cond(state):
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng = state
+            best_alive = jnp.max(alive_lp, axis=1) / search.length_penalty(jnp.asarray(max_len), self.lenpen)
+            worst_fin = jnp.min(jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
+            improvable = jnp.any(~fin_flags.all(axis=1) | (best_alive > worst_fin))
+            return (step <= max_len) & improvable
+
+        def body(state):
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng = state
+            lp, cache = step_logits(seq, step, cache)           # (N, V)
+            if self.temperature != 1.0:
+                lp = lp / self.temperature
+            lp = jax.nn.log_softmax(lp, axis=-1)
+            V = lp.shape[-1]
+
+            lp = search.apply_min_len(lp, step, self.min_len, self.eos)
+            if self.constraint_start is not None:
+                lp = search.apply_constraint_range(lp, self.constraint_start, self.constraint_end, self.eos)
+            if self.ngram > 0:
+                lp = search.block_repeat_ngrams(lp, seq.reshape(N, T_buf), step + 1, self.ngram)
+
+            # force EOS at the last step so every beam finishes
+            only_eos = jnp.full((V,), NEG_INF).at[self.eos].set(0.0)
+            lp = jnp.where(step == max_len, only_eos[None, :], lp)
+
+            # force prefix tokens during the first prefix_len steps
+            if prefix_len > 0:
+                def force(lp):
+                    tok = jax.lax.dynamic_index_in_dim(prefix_tokens, step, axis=1, keepdims=False)  # (B,)
+                    tok = jnp.repeat(tok, K, axis=0)  # (N,)
+                    forced = jnp.full_like(lp, NEG_INF)
+                    forced = forced.at[jnp.arange(N), tok].set(0.0)
+                    return forced
+                lp = jax.lax.cond(step < prefix_len, force, lambda x: x, lp)
+
+            if self.sampling:
+                lp = search.top_k_top_p_filter(lp, self.sampling_topk, self.sampling_topp)
+
+            lp = lp.reshape(B, K, V)
+            cand_lp = alive_lp[:, :, None] + lp                  # (B, K, V)
+            flat = cand_lp.reshape(B, K * V)
+
+            if self.sampling:
+                rng, sub = jax.random.split(rng)
+                # independent per-beam sampling: pick token per beam, keep beams
+                tok = jax.random.categorical(sub, lp.reshape(B * K, V), axis=-1).reshape(B, K)
+                cand_idx = jnp.arange(K)[None, :] * V + tok      # (B, K) -> pretend topk of K
+                topk_lp = jnp.take_along_axis(flat, cand_idx, axis=1)
+                topk_idx = cand_idx
+                n_cand = K
+            else:
+                topk_lp, topk_idx = jax.lax.top_k(flat, 2 * K)   # (B, 2K)
+                n_cand = 2 * K
+
+            cand_beam = topk_idx // V                             # (B, n_cand)
+            cand_tok = topk_idx % V
+
+            # extend sequences
+            cand_seq = jnp.take_along_axis(seq, cand_beam[:, :, None], axis=1)  # (B, n_cand, T)
+            cand_seq = cand_seq.at[:, :, step + 1].set(cand_tok)
+
+            is_eos = cand_tok == self.eos
+            # ---- merge newly finished into the finished pool
+            cand_scores = topk_lp / search.length_penalty(step + 1, self.lenpen)
+            new_fin_scores = jnp.where(is_eos, cand_scores, NEG_INF)
+            all_fin_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
+            all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores], axis=1)
+            all_fin_flags = jnp.concatenate([fin_flags, is_eos], axis=1)
+            top_fin_scores, top_fin_idx = jax.lax.top_k(all_fin_scores, K)
+            fin_seq = jnp.take_along_axis(all_fin_seq, top_fin_idx[:, :, None], axis=1)
+            fin_scores = top_fin_scores
+            fin_flags = jnp.take_along_axis(all_fin_flags, top_fin_idx, axis=1)
+
+            # ---- pick K alive (non-eos) candidates
+            alive_cand_lp = jnp.where(is_eos, NEG_INF, topk_lp)
+            new_alive_lp, alive_idx = jax.lax.top_k(alive_cand_lp, K)
+            seq = jnp.take_along_axis(cand_seq, alive_idx[:, :, None], axis=1)
+            chosen_beam = jnp.take_along_axis(cand_beam, alive_idx, axis=1)    # (B, K)
+            cache = _gather_beams(cache, chosen_beam, B, K)
+            return (step + 1, seq, new_alive_lp, fin_seq, fin_scores, fin_flags, cache, rng)
+
+        state = (jnp.int32(0), seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng)
+        state = jax.lax.while_loop(cond, body, state)
+        _, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng = state
+        return fin_seq, fin_scores

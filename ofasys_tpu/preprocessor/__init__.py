@@ -1,4 +1,23 @@
 from ofasys_tpu.preprocessor.dictionary import Dictionary
 from ofasys_tpu.preprocessor.instruction import Instruction, Slot
+from ofasys_tpu.preprocessor.base import (
+    BasePreprocess,
+    CollateOutput,
+    PreprocessConfig,
+    PreprocessSkipException,
+)
+from ofasys_tpu.preprocessor.general import GeneralPreprocess
 
-__all__ = ["Dictionary", "Instruction", "Slot"]
+# import registered preprocessors so @register_config side effects fire
+from ofasys_tpu.preprocessor import text  # noqa: F401
+
+__all__ = [
+    "Dictionary",
+    "Instruction",
+    "Slot",
+    "BasePreprocess",
+    "CollateOutput",
+    "PreprocessConfig",
+    "PreprocessSkipException",
+    "GeneralPreprocess",
+]

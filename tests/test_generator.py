@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofasys_tpu import ModalityType
+from ofasys_tpu.generator import SequenceGenerator
+from ofasys_tpu.utils.pytree import SlotBatch
+
+from test_train_step import copy_batch, tiny_model
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Tiny model memorizing a copy task, for decode tests."""
+    from ofasys_tpu.configure.configs import OptimizationConfig
+    from ofasys_tpu.engine.criterion.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+        LabelSmoothedCrossEntropyCriterionConfig,
+    )
+    from ofasys_tpu.engine.optim import build_optimizer
+    from ofasys_tpu.engine.train_step import TrainState, make_train_step
+
+    m, d = tiny_model(dropout=0.0)
+    rng = np.random.default_rng(0)
+    batch = copy_batch(d, rng, B=4, T=6)
+    params = m.init_params(jax.random.PRNGKey(0), batch["net_input"]["slots"])
+    crit = LabelSmoothedCrossEntropyCriterion(
+        LabelSmoothedCrossEntropyCriterionConfig(label_smoothing=0.0), pad_id=d.pad()
+    )
+    opt = build_optimizer(OptimizationConfig(lr=(1e-2,)), total_num_update=300)
+    state = TrainState.create(params, opt)
+    step = jax.jit(make_train_step(m, crit, opt))
+    for _ in range(200):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    return m, d, state.params, batch
+
+
+def _sample(batch):
+    return {"net_input": {"slots": batch["net_input"]["slots"]}}
+
+
+def test_greedy_decodes_memorized(trained):
+    m, d, params, batch = trained
+    gen = SequenceGenerator(m, d, beam_size=1, max_len_b=8, min_len=1)
+    out = gen.generate(params, _sample(batch))
+    target = np.asarray(batch["target"])
+    assert len(out) == 4
+    correct = 0
+    for b, hyps in enumerate(out):
+        toks = hyps[0].tokens
+        assert toks[-1] == d.eos()
+        if np.array_equal(toks, target[b]):
+            correct += 1
+    assert correct >= 3, [h[0].tokens for h in out]
+
+
+def test_beam_contains_greedy(trained):
+    m, d, params, batch = trained
+    greedy = SequenceGenerator(m, d, beam_size=1, max_len_b=8).generate(params, _sample(batch))
+    beam = SequenceGenerator(m, d, beam_size=4, max_len_b=8, return_n_best=4).generate(params, _sample(batch))
+    for g, bs in zip(greedy, beam):
+        # beam's best should score >= greedy's best
+        assert bs[0].score >= g[0].score - 1e-4
+        # scores sorted descending
+        sc = [h.score for h in bs]
+        assert sc == sorted(sc, reverse=True)
+
+
+def test_prefix_forcing(trained):
+    m, d, params, batch = trained
+    target = np.asarray(batch["target"])
+    wrong_prefix = np.full((4, 2), d.nspecial + 3, np.int32)  # force an arbitrary prefix
+    gen = SequenceGenerator(m, d, beam_size=2, max_len_b=8)
+    out = gen.generate(params, _sample(batch), prefix_tokens=wrong_prefix)
+    for hyps in out:
+        np.testing.assert_array_equal(hyps[0].tokens[:2], wrong_prefix[0])
+
+
+def test_constraint_range(trained):
+    m, d, params, batch = trained
+    lo, hi = d.nspecial + 10, d.nspecial + 20
+    gen = SequenceGenerator(m, d, beam_size=2, max_len_b=6, constraint_range=f"{lo},{hi}")
+    out = gen.generate(params, _sample(batch))
+    for hyps in out:
+        toks = hyps[0].tokens[:-1]  # exclude eos
+        assert ((toks >= lo) & (toks < hi)).all(), toks
+
+
+def test_min_len(trained):
+    m, d, params, batch = trained
+    gen = SequenceGenerator(m, d, beam_size=1, max_len_b=8, min_len=4)
+    out = gen.generate(params, _sample(batch))
+    for hyps in out:
+        assert len(hyps[0].tokens) >= 5  # 4 tokens + eos
+
+
+def test_ngram_blocking(trained):
+    m, d, params, batch = trained
+    gen = SequenceGenerator(m, d, beam_size=1, max_len_b=12, no_repeat_ngram_size=2)
+    out = gen.generate(params, _sample(batch))
+    for hyps in out:
+        toks = hyps[0].tokens[:-1].tolist()
+        bigrams = list(zip(toks, toks[1:]))
+        assert len(bigrams) == len(set(bigrams)), toks

@@ -31,9 +31,10 @@ def tiny_model(dropout=0.1, dtype=None):
 
 
 def copy_batch(d, rng, B=8, T=10):
-    toks = rng.integers(d.nspecial, d.nspecial + 50, size=(B, T)).astype(np.int32)
-    prev = np.concatenate([np.full((B, 1), d.bos(), np.int32), toks[:, :-1]], axis=1)
-    target = toks.copy()
+    # mirrors text collate: prev = [bos, toks], target = [toks, eos]
+    toks = rng.integers(d.nspecial, d.nspecial + 50, size=(B, T - 1)).astype(np.int32)
+    prev = np.concatenate([np.full((B, 1), d.bos(), np.int32), toks], axis=1)
+    target = np.concatenate([toks, np.full((B, 1), d.eos(), np.int32)], axis=1)
     src = SlotBatch(ModalityType.TEXT, True, {"inputs": jnp.asarray(toks)}, "src")
     tgt = SlotBatch(ModalityType.TEXT, False, {"inputs": jnp.asarray(prev)}, "tgt")
     return {
