@@ -1,0 +1,242 @@
+"""Trainer: multi-task fit loop (reference ofasys/engine/trainer.py:45-1698).
+
+The reference's 1.4k-line stateful trainer collapses because the device math
+is pure jitted functions:
+
+  fit(model, tasks):
+    build vocab -> initialize tasks (vocab grows) -> initialize model ->
+    mesh + sharded per-task train steps -> update loop (round-robin over
+    tasks, one optimizer step per update across all task batches) ->
+    validate_and_save -> orbax checkpoint with full resume state.
+
+Multi-task scheduling: one update round-robins the tasks, taking one
+optimizer step per task batch (each step is the task's own jitted program —
+different templates never share a trace). The reference instead sums
+gradients across all task batches before a single step
+(trainer.py:766-880); that variant is planned as a config switch once the
+multi-task benchmark exists to compare both.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ofasys_tpu.configure import ConfigStore, TrainerConfig, to_dict
+from ofasys_tpu.engine.optim import build_lr_schedule, build_optimizer
+from ofasys_tpu.engine.train_step import TrainState, make_train_step, make_valid_step
+from ofasys_tpu.logging.meters import AverageMeter, MetersDict, TimeMeter
+from ofasys_tpu.parallel import build_mesh, make_sharded_train_step, put_batch, shard_tree, tree_shardings
+from ofasys_tpu.preprocessor.dictionary import Dictionary
+from ofasys_tpu.utils import checkpoint_utils
+
+logger = logging.getLogger("ofasys_tpu.trainer")
+
+
+class Trainer:
+    def __init__(self, cfg: Optional[TrainerConfig] = None, **kwargs):
+        self.cfg = cfg or TrainerConfig()
+        if kwargs:
+            self.cfg.update(**kwargs)
+        self.meters = MetersDict()
+        self.state: Optional[TrainState] = None
+        self.mesh = None
+        self._step_fns: Dict[str, Callable] = {}
+        self._valid_fns: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------- fitting
+    def fit(self, model, tasks, max_update: Optional[int] = None):
+        """The reference Trainer.fit contract (engine/trainer.py:71)."""
+        if not isinstance(tasks, (list, tuple)):
+            tasks = [tasks]
+        cfg = self.cfg
+        total_updates = max_update or cfg.optimization.max_update or 1000
+
+        # 1) vocab + task initialization (text preprocessors grow the dict)
+        global_dict = Dictionary()
+        for task in tasks:
+            task.initialize(global_dict)
+        global_dict.pad_to_multiple_(128)  # MXU lane width
+
+        # 2) model initialization with the union of required adaptors
+        adaptors: List[str] = []
+        for task in tasks:
+            for a in task.required_adaptors():
+                if a not in adaptors:
+                    adaptors.append(a)
+        dtype = jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
+        model.initialize(global_dict, active_adaptors=tuple(adaptors), dtype=dtype)
+
+        # 3) mesh + optimizer
+        self.mesh = build_mesh(cfg.parallel)
+        dp_size = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        optimizer = build_optimizer(cfg.optimization, total_num_update=total_updates)
+        lr_sched = build_lr_schedule(cfg.optimization, total_updates)
+
+        # 4) init or restore params
+        first_batch = {t.name: self._peek_batch(t) for t in tasks}
+        params = model.init_params(
+            jax.random.PRNGKey(cfg.common.seed), first_batch[tasks[0].name]["net_input"]["slots"]
+        )
+        state = TrainState.create(params, optimizer, ema=cfg.ema.store_ema)
+        state = shard_tree(state, self.mesh)
+        self.state = state
+        self.model = model
+        self.tasks = tasks
+        self.global_dict = global_dict
+        self.optimizer = optimizer
+
+        start_update = 0
+        restored = self._maybe_restore()
+        if restored is not None:
+            start_update = restored
+
+        # 5) per-task sharded train steps
+        for task, batch in ((t, first_batch[t.name]) for t in tasks):
+            step_fn = make_train_step(
+                model, task.criterion, optimizer,
+                update_freq=task.cfg.dataset.update_freq,
+                ema_decay=cfg.ema.ema_decay if cfg.ema.store_ema else 0.0,
+                lr_schedule=lr_sched,
+            )
+            self._step_fns[task.name] = make_sharded_train_step(
+                step_fn, self.mesh, self.state, batch_device_view(batch),
+                update_freq=task.cfg.dataset.update_freq,
+            )
+
+        # 6) the update loop
+        rng = jax.random.PRNGKey(cfg.common.seed)
+        iterators = {t.name: iter(self._task_batches(t, dp_rank=0, dp_size=1)) for t in tasks}
+        self.meters.add_meter("ups", TimeMeter(round=2))
+        self.meters.add_meter("wps", TimeMeter(round=0))
+        t_start = time.time()
+        best_metric = None
+        for update in range(start_update, total_updates):
+            for task in tasks:
+                batch = next(iterators[task.name])
+                n_valid_tokens = int(batch.get("ntokens", 0))
+                db = put_batch(batch_device_view(batch), self.mesh,
+                               update_freq=task.cfg.dataset.update_freq)
+                self.state, metrics = self._step_fns[task.name](self.state, db, rng)
+                self._log_metrics(task.name, metrics, n_valid_tokens)
+            self.meters["ups"].update(1)
+            if cfg.common.log_interval and (update + 1) % cfg.common.log_interval == 0:
+                self._print_progress(update + 1, total_updates)
+            if cfg.checkpoint.save_interval_updates and \
+                    (update + 1) % cfg.checkpoint.save_interval_updates == 0:
+                self.save_checkpoint(f"checkpoint_1_{update + 1}", update + 1)
+        # final save
+        if not cfg.checkpoint.no_save:
+            self.save_checkpoint("checkpoint_last", total_updates)
+        logger.info("fit done in %.1fs", time.time() - t_start)
+        return self.state
+
+    # -------------------------------------------------------------- pieces
+    def _peek_batch(self, task):
+        it = task.get_batch_iterator("train", seed=self.cfg.common.seed)
+        batch = next(it.next_epoch_itr())
+        # reset iterator state so training starts from batch 0
+        it.iterations_in_epoch = 0
+        it.epoch = max(it.epoch - 1, 1)
+        task.iterators.pop("train", None)
+        return batch
+
+    def _task_batches(self, task, dp_rank: int, dp_size: int):
+        """Endless stream of batches, rolling over epochs."""
+        it = task.get_batch_iterator("train", rank=dp_rank, world_size=dp_size,
+                                     seed=self.cfg.common.seed)
+        while True:
+            for batch in it.next_epoch_itr():
+                yield batch
+
+    def _log_metrics(self, task_name: str, metrics: Dict[str, Any], ntokens: int):
+        ss = float(metrics.get("sample_size", 1.0)) or 1.0
+        nt = float(metrics.get("ntokens", 0.0)) or 1.0
+        for key, meter_key in (("loss", f"{task_name}:loss"), ("nll_loss", f"{task_name}:nll_loss")):
+            if key in metrics:
+                denom = ss if key == "loss" else nt
+                if meter_key not in self.meters:
+                    self.meters.add_meter(meter_key, AverageMeter(round=3))
+                self.meters[meter_key].update(float(metrics[key]) / denom)
+        if "gnorm" in metrics:
+            if "gnorm" not in self.meters:
+                self.meters.add_meter("gnorm", AverageMeter(round=3))
+            self.meters["gnorm"].update(float(metrics["gnorm"]))
+        if "lr" in metrics:
+            if "lr" not in self.meters:
+                self.meters.add_meter("lr", AverageMeter(round=6))
+            self.meters["lr"].update(float(metrics["lr"]))
+        self.meters["wps"].update(ntokens)
+
+    def _print_progress(self, update: int, total: int):
+        vals = self.meters.get_smoothed_values()
+        msg = " | ".join(f"{k} {v}" for k, v in vals.items())
+        logger.info("update %d/%d | %s", update, total, msg)
+
+    # ----------------------------------------------------------- validate
+    def validate(self, task, max_batches: Optional[int] = None) -> Dict[str, float]:
+        if task.name not in self._valid_fns:
+            self._valid_fns[task.name] = jax.jit(make_valid_step(self.model, task.criterion))
+        fn = self._valid_fns[task.name]
+        logs = []
+        it = task.get_batch_iterator("valid")
+        for i, batch in enumerate(it.next_epoch_itr(shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            db = put_batch(batch_device_view(batch), self.mesh)
+            logs.append(jax.device_get(fn(self.state.params, db)))
+        return task.criterion.reduce_metrics(logs, task_name=task.name)
+
+    # --------------------------------------------------------- checkpoints
+    def save_checkpoint(self, name: str, num_updates: int, is_best: bool = False):
+        cfg = self.cfg
+        meta = {
+            "num_updates": num_updates,
+            "cfg": to_dict(cfg),
+            "configstore": ConfigStore().state_dict(groups=["ofasys.task", "ofasys.model"]),
+            "global_dict": self.global_dict.state_dict(),
+            "iterator_states": {t.name: t.iterators["train"].state_dict()
+                                for t in self.tasks if "train" in t.iterators},
+            "model_cfg": to_dict(self.model.cfg),
+            "active_adaptors": list(self.model.net.active_adaptors),
+        }
+        checkpoint_utils.save_checkpoint(
+            cfg.checkpoint.save_dir, name, self.state, meta,
+            keep_last=cfg.checkpoint.keep_interval_updates, is_best=is_best,
+        )
+
+    def _maybe_restore(self) -> Optional[int]:
+        path = checkpoint_utils.latest_checkpoint(self.cfg.checkpoint.save_dir)
+        if path is None or self.cfg.checkpoint.reset_optimizer:
+            return None
+        state, meta = checkpoint_utils.load_checkpoint(path, target=self.state)
+        self.state = jax.tree.map(
+            lambda x, s: jax.device_put(x, s.sharding) if hasattr(s, "sharding") else x,
+            state, self.state,
+        )
+        if meta:
+            for t in self.tasks:
+                st = meta.get("iterator_states", {}).get(t.name)
+                if st and "train" in t.iterators:
+                    t.iterators["train"].load_state_dict(st)
+            return int(meta.get("num_updates", 0))
+        return None
+
+
+def batch_device_view(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Strip host-only keys so the device batch has a stable pytree
+    (template strings, python ints...)."""
+    out = {}
+    for k, v in batch.items():
+        if k in ("template", "nsentences", "ntokens", "n_valid", "prefix_tokens",
+                 "dict_start", "dict_end"):
+            continue
+        out[k] = v
+    return out

@@ -1,0 +1,259 @@
+"""Task: instruction template + data + criterion + metrics
+(reference ofasys/task/base.py:191-900).
+
+A Task declares WHAT to learn (one-line instruction DSL), owns its data
+readers/iterators and evaluation, and contributes a criterion; the shared
+GeneralistModel and the Trainer do the rest. Unlike the reference, the
+train/valid step math lives in jitted pure functions (engine/train_step.py) —
+the task only *configures* them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ofasys_tpu import ModalityType
+from ofasys_tpu.configure import ConfigStore, register_config
+from ofasys_tpu.configure.configs import BaseDataclass, DatasetConfig, GenerationConfig
+from ofasys_tpu.io.reader.base_reader import BaseReader
+from ofasys_tpu.io.reader.dataset import EpochBatchIterator, parse_dataset_paths
+from ofasys_tpu.io.reader.file_reader import FileLineReader
+from ofasys_tpu.io.reader.readers import (
+    CachedReader,
+    ConcatReader,
+    HfDatasetReader,
+    ListReader,
+    TsvReader,
+)
+from ofasys_tpu.preprocessor.general import DEFAULT_PREPROCESS, GeneralPreprocess
+from ofasys_tpu.preprocessor.instruction import Instruction, Slot
+
+
+@dataclass
+class InstructionConfig(BaseDataclass):
+    template: str = ""
+    decoder_prompt: Optional[str] = None
+
+
+@dataclass
+class EvaluationConfig(BaseDataclass):
+    metrics: Tuple[str, ...] = ()
+    output_dir: Optional[str] = None
+    best_metric: Optional[str] = None
+
+
+@dataclass
+class TaskConfig(BaseDataclass):
+    is_active: bool = False
+    name: str = "default"
+    instruction: InstructionConfig = field(default_factory=InstructionConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    criterion: str = "label_smoothed_cross_entropy"
+    micro_batch_size: Optional[int] = None
+
+
+@register_config("ofasys.task", "default", TaskConfig)
+class Task:
+    """Usable directly via the python API:
+        task = Task(name="caption", instruction="[IMAGE:img] ... -> [TEXT:cap]")
+        task.add_dataset(hf_dataset)
+    (reference scripts/trainer_api.py surface)."""
+
+    def __init__(self, cfg: Optional[TaskConfig] = None, name: Optional[str] = None,
+                 instruction: Optional[str] = None, **kwargs):
+        if cfg is None:
+            cfg = dataclasses.replace(ConfigStore().get("ofasys.task", self.registry_name
+                                                        if hasattr(self, "registry_name") else "default").config)
+        self.cfg = cfg
+        if name:
+            self.cfg.name = name
+        if instruction:
+            self.cfg.instruction.template = instruction
+        if kwargs:
+            self.cfg.update(**kwargs)
+        self.general_preprocess: Optional[GeneralPreprocess] = None
+        self.criterion = None
+        self.metrics: List[Any] = []
+        self.datasets: Dict[str, BaseReader] = {}
+        self.iterators: Dict[str, EpochBatchIterator] = {}
+        self._generator = None
+        self._rng = random.Random(1)
+
+    # ------------------------------------------------------------ identity
+    @property
+    def name(self) -> str:
+        return self.cfg.name
+
+    @property
+    def templates(self) -> List[str]:
+        return [t.strip() for t in self.cfg.instruction.template.split("|||") if t.strip()]
+
+    # --------------------------------------------------- template analysis
+    def required_preprocessors(self) -> List[str]:
+        names = []
+        for t in self.templates:
+            for slot in Instruction(t).slots:
+                n = slot.get_attr("preprocess") or DEFAULT_PREPROCESS[slot.modality]
+                if n not in names:
+                    names.append(n)
+        return names
+
+    def required_adaptors(self) -> List[str]:
+        from ofasys_tpu.adaptor.general import resolve_adaptor_name
+        from ofasys_tpu.utils.pytree import SlotBatch
+
+        names = []
+        for t in self.templates:
+            for slot in Instruction(t).slots:
+                sb = SlotBatch(slot.modality, slot.is_src, None, slot.column_name,
+                               tuple(slot.attributes) if slot.attributes else None)
+                n = resolve_adaptor_name(sb, slot.is_src)
+                if n not in names:
+                    names.append(n)
+        return names
+
+    # ------------------------------------------------------------ lifecycle
+    def initialize(self, global_dict, is_train: bool = True):
+        """Activate preprocessors derived from the templates and build the
+        criterion/metrics (reference task/base.py:218-247)."""
+        self.general_preprocess = GeneralPreprocess(global_dict, active=self.required_preprocessors())
+        store = ConfigStore()
+        crit_node = store.get("ofasys.criterion", self.cfg.criterion)
+        self.criterion = crit_node.target_cls(crit_node.config, pad_id=global_dict.pad())
+        self.metrics = []
+        for mname in self.cfg.evaluation.metrics:
+            node = store.get("ofasys.metric", mname)
+            self.metrics.append(node.target_cls(node.config))
+        self.global_dict = global_dict
+        return self
+
+    # ---------------------------------------------------------------- data
+    def add_dataset(self, data, split: str = "train"):
+        if isinstance(data, BaseReader):
+            reader = data
+        elif isinstance(data, list):
+            reader = ListReader(data)
+        else:  # huggingface dataset
+            reader = HfDatasetReader(data)
+        self.datasets[split] = reader
+        return self
+
+    def load_dataset_from_path(self, path: str, split: str = "train"):
+        groups = parse_dataset_paths(path)
+        files = groups[0]
+        readers = [TsvReader(f, selected_cols=self.cfg.dataset.selected_cols) for f in files]
+        reader = readers[0] if len(readers) == 1 else ConcatReader(readers)
+        if split == "train":
+            reader = CachedReader(reader, shuffle=True)
+        self.datasets[split] = reader
+        return self
+
+    # ------------------------------------------------------------- samples
+    def preprocess(self, data: Dict[str, Any], split: str) -> Dict[str, Any]:
+        """Per-task raw-record hook (the method most of the reference's 30
+        task subclasses override)."""
+        return data
+
+    def build_instruction(self, split: str) -> Instruction:
+        t = self._rng.choice(self.templates) if split == "train" else self.templates[0]
+        return Instruction(t, split=split)
+
+    def process_sample(self, record: Dict[str, Any], split: str) -> Optional[Instruction]:
+        data = self.preprocess(dict(record), split)
+        if data is None:
+            return None
+        ist = self.build_instruction(split)
+        open_names = set(ist.get_slot_names())
+        ist = ist.format(**{k: v for k, v in data.items() if k in open_names or not open_names})
+        return self.general_preprocess(ist)
+
+    def get_batch_iterator(
+        self,
+        split: str = "train",
+        epoch: int = 1,
+        rank: int = 0,
+        world_size: int = 1,
+        seed: int = 1,
+    ) -> EpochBatchIterator:
+        if split in self.iterators:
+            return self.iterators[split]
+        if split not in self.datasets:
+            path = {"train": self.cfg.dataset.train_data,
+                    "valid": self.cfg.dataset.valid_data,
+                    "test": self.cfg.dataset.test_data}.get(split, "")
+            if not path:
+                raise ValueError(f"task {self.name}: no dataset for split {split!r}")
+            self.load_dataset_from_path(path, split)
+        bsz = self.cfg.dataset.batch_size if split == "train" else (
+            self.cfg.dataset.batch_size_valid or self.cfg.dataset.batch_size
+        )
+        it = EpochBatchIterator(
+            reader=self.datasets[split],
+            process_fn=lambda rec, i: self.process_sample(rec, split),
+            collate_fn=self.general_preprocess.collate,
+            batch_size=bsz,
+            update_freq=self.cfg.dataset.update_freq if split == "train" else 1,
+            shuffle=(split == "train"),
+            seed=seed,
+            rank=rank,
+            world_size=world_size,
+            drop_last=(split == "train"),
+            epoch=epoch,
+        )
+        self.iterators[split] = it
+        return it
+
+    # ----------------------------------------------------------- inference
+    def build_generator(self, model, **overrides):
+        from ofasys_tpu.generator import SequenceGenerator
+
+        g = self.cfg.generation
+        kwargs = dict(
+            beam_size=g.beam, max_len_a=g.max_len_a, max_len_b=g.max_len_b,
+            min_len=g.min_len, temperature=g.temperature, lenpen=g.lenpen,
+            no_repeat_ngram_size=g.ngram_blocker, constraint_range=g.constraint_range,
+            sampling=g.sampling, sampling_topk=g.sampling_topk, sampling_topp=g.sampling_topp,
+            return_n_best=g.return_n_best,
+        )
+        kwargs.update(overrides)
+        self._generator = SequenceGenerator(model, self.global_dict, **kwargs)
+        return self._generator
+
+    def inference(self, model, params, sample, **gen_overrides):
+        """Generate + postprocess (reference task/base.py:727)."""
+        if self._generator is None:
+            self.build_generator(model, **gen_overrides)
+        outputs = self._generator.generate(params, sample)
+        for hyps in outputs:
+            for h in hyps:
+                self.general_preprocess.postprocess([h], sample)
+        return outputs
+
+    def evaluate(self, model, params, split: str = "valid", max_batches: Optional[int] = None,
+                 rank: int = 0, world_size: int = 1) -> Dict[str, float]:
+        """Run generation over a split and score with the task's metrics
+        (reference task/base.py:617)."""
+        it = self.get_batch_iterator(split, rank=rank, world_size=world_size)
+        hyps: List[str] = []
+        refs: List[Any] = []
+        for i, batch in enumerate(it.next_epoch_itr(shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            outputs = self.inference(model, params, batch)
+            n_valid = batch.get("n_valid", len(outputs))
+            for b, out in enumerate(outputs[:n_valid]):
+                hyps.append(out[0].text if out[0].text is not None else
+                            self.general_preprocess.name2pre["text"].decode(out[0].tokens))
+                target = np.asarray(batch["target"])[b]
+                refs.append(self.general_preprocess.name2pre["text"].decode(target))
+        results: Dict[str, float] = {}
+        for metric in self.metrics:
+            results.update(metric.compute(hyps, refs))
+        return results
