@@ -1,5 +1,6 @@
 from ofasys_tpu.adaptor.base import AdaptorOutput, BaseAdaptor, BaseAdaptorConfig
 from ofasys_tpu.adaptor.general import GeneralAdaptor
 from ofasys_tpu.adaptor import text  # registers "text"
+from ofasys_tpu.adaptor import image  # registers image adaptors
 
 __all__ = ["AdaptorOutput", "BaseAdaptor", "BaseAdaptorConfig", "GeneralAdaptor"]

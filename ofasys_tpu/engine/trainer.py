@@ -77,6 +77,12 @@ class Trainer:
         # 3) mesh + optimizer
         self.mesh = build_mesh(cfg.parallel)
         dp_size = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        for task in tasks:
+            if task.cfg.dataset.batch_size % dp_size != 0:
+                raise ValueError(
+                    f"task {task.name!r}: batch_size {task.cfg.dataset.batch_size} must be "
+                    f"divisible by data*fsdp mesh size {dp_size}"
+                )
         optimizer = build_optimizer(cfg.optimization, total_num_update=total_updates)
         lr_sched = build_lr_schedule(cfg.optimization, total_updates)
 

@@ -10,6 +10,8 @@ from ofasys_tpu.preprocessor.general import GeneralPreprocess
 
 # import registered preprocessors so @register_config side effects fire
 from ofasys_tpu.preprocessor import text  # noqa: F401
+from ofasys_tpu.preprocessor import image  # noqa: F401
+from ofasys_tpu.preprocessor import box  # noqa: F401
 
 __all__ = [
     "Dictionary",

@@ -181,7 +181,10 @@ class Task:
         rank: int = 0,
         world_size: int = 1,
         seed: int = 1,
+        fresh: bool = False,
     ) -> EpochBatchIterator:
+        if fresh:
+            self.iterators.pop(split, None)
         if split in self.iterators:
             return self.iterators[split]
         if split not in self.datasets:
