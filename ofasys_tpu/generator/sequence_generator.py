@@ -34,11 +34,12 @@ NEG_INF = search.NEG_INF
 
 
 def _expand_beam(tree, beam_size: int):
-    """(B, ...) -> (B*K, ...) by repeat-interleave on dim 0; dim-1 leaves
-    (shared position embeddings / biases) are left broadcastable."""
+    """(B, ...) -> (B*K, ...) by repeat-interleave on dim 0. Note: batch-
+    independent leaves (pos embeds, biases with batch dim 1) must NOT pass
+    through here — they stay broadcastable; the caller routes them."""
 
     def f(x):
-        if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] == 1:
+        if not hasattr(x, "ndim") or x.ndim == 0:
             return x
         return jnp.repeat(x, beam_size, axis=0)
 

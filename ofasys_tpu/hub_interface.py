@@ -1,0 +1,129 @@
+"""Hub interface: load a trained checkpoint and run one-line inference
+(reference ofasys/hub_interface.py:106-332).
+
+    model = OFASys.from_pretrained("ckpt_dir/checkpoint_last")
+    out = model.inference("[IMAGE:img] what does the image describe? -> [TEXT:cap]",
+                          data={"img": image})
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofasys_tpu import ModalityType
+from ofasys_tpu.configure import ConfigStore, from_dict
+from ofasys_tpu.engine.train_step import TrainState
+from ofasys_tpu.model.config import GeneralistModelConfig
+from ofasys_tpu.model.ofa import GeneralistModel
+from ofasys_tpu.preprocessor.dictionary import Dictionary
+from ofasys_tpu.preprocessor.general import GeneralPreprocess
+from ofasys_tpu.preprocessor.instruction import Instruction
+from ofasys_tpu.task.base import Task
+from ofasys_tpu.utils import checkpoint_utils
+
+logger = logging.getLogger("ofasys_tpu.hub")
+
+# per-modality generation defaults (reference hub_interface.py:291-332)
+_GEN_DEFAULTS = {
+    ModalityType.TEXT: dict(beam_size=5, max_len_b=100, no_repeat_ngram_size=3),
+    ModalityType.BOX: dict(beam_size=1, max_len_b=4, min_len=4),
+    ModalityType.IMAGE: dict(beam_size=5, max_len_b=1024, min_len=1024, sampling=True,
+                             sampling_topk=256),
+    ModalityType.MOTION: dict(),
+    ModalityType.AUDIO: dict(),
+}
+
+
+class OFASys:
+    """Inference-time wrapper around GeneralistModel + GeneralPreprocess."""
+
+    def __init__(self, model: GeneralistModel, params, global_dict: Dictionary,
+                 general_preprocess: GeneralPreprocess, tasks: Optional[Dict[str, Task]] = None):
+        self.model = model
+        self.params = params
+        self.global_dict = global_dict
+        self.general_preprocess = general_preprocess
+        self.tasks = tasks or {}
+        self._generators: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16) -> "OFASys":
+        """Rebuild everything from a checkpoint + its JSON metadata
+        (reference hub_interface.py:106-160: configs + vocab travel in the
+        checkpoint so inference needs nothing else)."""
+        raw, meta = checkpoint_utils.load_checkpoint(path)
+        if meta is None:
+            raise ValueError(f"checkpoint {path} has no .meta.json sidecar")
+        global_dict = Dictionary.from_state_dict(meta["global_dict"])
+        model_cfg = from_dict(GeneralistModelConfig, meta["model_cfg"])
+        model = GeneralistModel(cfg=model_cfg)
+        model.initialize(global_dict, active_adaptors=tuple(meta["active_adaptors"]), dtype=dtype)
+
+        # rebuild task configs so task-specific generation defaults survive
+        ConfigStore().load_state_dict(meta.get("configstore", {}), activate=False)
+
+        params = raw["params"] if isinstance(raw, dict) and "params" in raw else raw
+        # preprocessors: activate from checkpointed task templates when
+        # available; text is always present
+        active_pre = ["text"]
+        for tcfg in meta.get("configstore", {}).get("ofasys.task", {}).values():
+            template = tcfg.get("instruction", {}).get("template", "")
+            for t in template.split("|||"):
+                if t.strip():
+                    tmp = Task(instruction=t.strip())
+                    for p in tmp.required_preprocessors():
+                        if p not in active_pre:
+                            active_pre.append(p)
+        gp = GeneralPreprocess(global_dict, active=active_pre)
+        return cls(model, params, global_dict, gp)
+
+    @classmethod
+    def from_trainer(cls, trainer, tasks=None) -> "OFASys":
+        """Wrap a live training session for in-process inference."""
+        gp = tasks[0].general_preprocess if tasks else GeneralPreprocess(trainer.global_dict)
+        return cls(trainer.model, trainer.state.params, trainer.global_dict, gp,
+                   {t.name: t for t in (tasks or [])})
+
+    # ----------------------------------------------------------- inference
+    def inference(
+        self,
+        instruction: Union[str, Instruction],
+        data: Optional[Union[Dict[str, Any], List[Dict[str, Any]]]] = None,
+        **gen_overrides,
+    ):
+        """Format -> preprocess -> generate -> postprocess
+        (reference hub_interface.py:175-258). ``data`` may be one dict or a
+        list for batch inference; returns one (or a list of) n-best lists."""
+        batched = isinstance(data, list)
+        records = data if batched else [data or {}]
+
+        ists = []
+        for rec in records:
+            ist = Instruction(instruction, split="test") if isinstance(instruction, str) else instruction
+            ists.append(self.general_preprocess(ist.format(**rec)))
+        sample = self.general_preprocess.collate(ists)
+
+        target_modality = [s for s in sample["net_input"]["slots"] if not s.is_src][-1].modality
+        gen_kwargs = dict(_GEN_DEFAULTS.get(target_modality, {}))
+        gen_kwargs.update(gen_overrides)
+        key = (target_modality, tuple(sorted(gen_kwargs.items())))
+        if key not in self._generators:
+            from ofasys_tpu.generator import SequenceGenerator
+
+            self._generators[key] = SequenceGenerator(self.model, self.global_dict, **gen_kwargs)
+        gen = self._generators[key]
+
+        prefix = sample.get("prefix_tokens")
+        outputs = gen.generate(self.params, sample,
+                               prefix_tokens=prefix if prefix is not None and prefix.size else None)
+        for hyps in outputs:
+            self.general_preprocess.postprocess(hyps, sample)
+        results = [hyps[0] if len(hyps) == 1 else hyps for hyps in outputs]
+        return results if batched else results[0]

@@ -66,7 +66,9 @@ class GeneralistModelConfig(BaseDataclass):
     scan_layers: bool = False          # lax.scan over stacked layer params
 
     def __post_init__(self):
-        if self.arch:
+        # apply the arch preset only when the stacks are untouched defaults —
+        # a deserialized config (from_dict) must keep its explicit dims
+        if self.arch and self.encoder == TransformerStackConfig() and self.decoder == TransformerStackConfig():
             apply_arch(self, self.arch)
 
 

@@ -93,6 +93,20 @@ class TextPreprocess(BasePreprocess):
             self.answer_tokens.append(toks)
             self.constraint_trie.insert([self.global_dict.bos()] + toks.tolist() + [self.global_dict.eos()])
 
+    def dummy_slot(self, slot: Slot) -> Slot:
+        """Open decoder slot at inference: empty token run; after the group
+        bos/eos wrap, collate yields prev=[bos] / target=[eos] — the correct
+        generation seed (reference default/base.py dummy_slot)."""
+        empty = np.asarray([], np.int32)
+        slot.value = {
+            "inputs": empty,
+            "target": empty,
+            "constraint_masks": None,
+            "raw_tokens": empty,
+            "prefix_tokens": empty,
+        }
+        return slot
+
     # ------------------------------------------------------------------ map
     def map(self, slot: Slot) -> Slot:
         if not slot.is_src and slot.value is None:

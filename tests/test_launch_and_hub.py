@@ -1,0 +1,78 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ofasys_tpu.configure import ConfigStore
+from ofasys_tpu.launch import apply_overrides, build_from_config, load_yaml_config
+
+
+@pytest.fixture(autouse=True)
+def _reset():
+    yield
+    ConfigStore().reset()
+
+
+def test_yaml_include_and_substitution(tmp_path):
+    (tmp_path / "base.yaml").write_text(
+        "env:\n  DATA: /data\ntrainer:\n  optimization:\n    lr: [0.001]\n"
+        "tasks:\n  t1:\n    dataset:\n      train_data: ${DATA}/train.tsv\n"
+    )
+    (tmp_path / "child.yaml").write_text(
+        "_include: base.yaml\ntrainer:\n  optimization:\n    warmup_updates: 7\n"
+    )
+    data = load_yaml_config(str(tmp_path / "child.yaml"))
+    assert data["trainer"]["optimization"]["lr"] == [0.001]
+    assert data["trainer"]["optimization"]["warmup_updates"] == 7
+    assert data["tasks"]["t1"]["dataset"]["train_data"] == "/data/train.tsv"
+
+
+def test_overrides_and_build(tmp_path):
+    (tmp_path / "c.yaml").write_text(
+        "model:\n  arch: tiny\ntrainer:\n  dataset:\n    batch_size: 16\n"
+        "tasks:\n  copy:\n    instruction:\n      template: '[TEXT:src] -> [TEXT:tgt]'\n"
+        "    dataset:\n      batch_size: 8\n"
+    )
+    data = apply_overrides(load_yaml_config(str(tmp_path / "c.yaml")),
+                           ["trainer.optimization.lr=[0.005]"])
+    trainer, model, tasks = build_from_config(data)
+    assert model.cfg.arch == "tiny"
+    assert trainer.cfg.optimization.lr == (0.005,)
+    assert len(tasks) == 1 and tasks[0].name == "copy"
+    assert tasks[0].cfg.dataset.batch_size == 8
+    assert tasks[0].templates == ["[TEXT:src] -> [TEXT:tgt]"]
+
+
+def test_hub_from_pretrained_roundtrip(tmp_path):
+    from ofasys_tpu import GeneralistModel, OFASys, Task, Trainer
+    from ofasys_tpu.configure import TrainerConfig
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    recs = [{"src": w, "tgt": w} for w in words] * 8
+    task = Task(name="copy", instruction="[TEXT:src] -> [TEXT:tgt]")
+    task.cfg.dataset.batch_size = 8
+    task.add_dataset(recs, "train")
+    ConfigStore().set_active("ofasys.task", "default")  # capture in ckpt meta
+
+    model = GeneralistModel(arch="tiny")
+    model.cfg.encoder.layers = model.cfg.decoder.layers = 2
+    model.cfg.dropout = 0.0
+    cfg = TrainerConfig()
+    cfg.optimization.lr = (1e-2,)
+    cfg.checkpoint.save_dir = str(tmp_path / "ckpt")
+    trainer = Trainer(cfg)
+    trainer.fit(model, [task], max_update=60)
+
+    hub = OFASys.from_pretrained(str(tmp_path / "ckpt" / "checkpoint_last"))
+    out = hub.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "alpha"},
+                        beam_size=2, max_len_b=8)
+    assert out.text is not None
+    # trained to copy one of four words; just require valid decode output
+    assert isinstance(out.text, str)
+
+    # batch inference
+    outs = hub.inference("[TEXT:src] -> [TEXT:tgt]",
+                         data=[{"src": "alpha"}, {"src": "beta"}],
+                         beam_size=2, max_len_b=8)
+    assert len(outs) == 2
