@@ -31,6 +31,13 @@ import numpy as np
 
 from ofasys_tpu.model.config import GeneralistModelConfig
 from ofasys_tpu.ops.attention import causal_mask, dot_product_attention
+from ofasys_tpu.ops.pallas_attention import flash_supported
+
+
+def _flash_available() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() in ("tpu", "axon")
 
 LN_EPS = 1e-5
 
@@ -99,6 +106,8 @@ class MultiheadAttention(nn.Module):
         *,
         bias: Optional[jax.Array] = None,      # additive (B|1, H, Tq, Tk)
         mask: Optional[jax.Array] = None,      # bool keep-mask (B|1, 1|H, Tq, Tk)
+        causal: bool = False,
+        use_flash: bool = False,
         deterministic: bool = True,
         cache: Optional[Dict[str, jax.Array]] = None,
         static_kv: bool = False,
@@ -132,14 +141,34 @@ class MultiheadAttention(nn.Module):
                 mask = valid if mask is None else jnp.logical_and(mask, valid)
 
         dropout_rng = None
-        if not deterministic and self.dropout > 0.0:
+        dropout = self.dropout if not deterministic else 0.0
+        if dropout > 0.0:
             dropout_rng = self.make_rng("dropout")
-        x = dot_product_attention(
-            q, k, v,
-            bias=bias, mask=mask, scale=scaling,
-            dropout_rate=self.dropout, dropout_rng=dropout_rng,
-            dtype=self.dtype,
+        Tq_, Tk_ = q.shape[1], k.shape[1]
+        flash_ok = (
+            use_flash and cache is None and dropout == 0.0
+            and _flash_available() and flash_supported(Tq_, Tk_, head_dim, dropout)
+            and (mask is None or (mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1))
         )
+        if flash_ok:
+            from ofasys_tpu.ops.pallas_attention import flash_attention
+
+            x = flash_attention(
+                q, k, v, bias=bias, mask=mask, scale=scaling, causal=causal
+            ).astype(self.dtype)
+        else:
+            eff_mask = mask
+            if causal:
+                from ofasys_tpu.ops.attention import causal_mask as _cm
+
+                cm = _cm(Tq_, Tk_)
+                eff_mask = cm if eff_mask is None else jnp.logical_and(eff_mask, cm)
+            x = dot_product_attention(
+                q, k, v,
+                bias=bias, mask=eff_mask, scale=scaling,
+                dropout_rate=dropout, dropout_rng=dropout_rng,
+                dtype=self.dtype,
+            )
         if self.scale_heads:
             c_attn = self.param("c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32)
             x = x * c_attn.astype(self.dtype)[None, None, :, None]
@@ -242,7 +271,8 @@ class TransformerEncoderLayer(nn.Module):
             cfg.encoder.embed_dim, cfg.encoder.attention_heads,
             scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
-        )(h, bias=bias, mask=mask, deterministic=deterministic)
+        )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
+          deterministic=deterministic)
         if cfg.scale_attn:
             h = ln("attn_ln")(h)
         h = dropout(h, deterministic=deterministic)
@@ -298,7 +328,8 @@ class TransformerDecoderLayer(nn.Module):
             cfg.decoder.embed_dim, cfg.decoder.attention_heads,
             scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
-        )(h, bias=self_bias, mask=self_mask, deterministic=deterministic,
+        )(h, bias=self_bias, mask=self_mask, causal=(cache is None),
+          use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
         if cache is not None:
             new_cache["self"] = self_kv
@@ -317,7 +348,7 @@ class TransformerDecoderLayer(nn.Module):
                 scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
                 dropout=cfg.attention_dropout, dtype=self.dtype, name="encoder_attn",
             )(h, encoder_out, bias=cross_bias, mask=cross_mask,
-              deterministic=deterministic,
+              use_flash=cfg.use_flash_attention, deterministic=deterministic,
               cache=None if cache is None else cache.get("cross"), static_kv=True)
             if cache is not None and "cross" in cache:
                 new_cache["cross"] = cache["cross"]
@@ -401,9 +432,9 @@ class TransformerDecoder(nn.Module):
         B, Tt = x.shape[:2]
 
         if cache is None:
-            self_mask = causal_mask(Tt, Tt)
+            self_mask = None
             if self_padding_mask is not None:
-                self_mask = jnp.logical_and(self_mask, self_padding_mask[:, None, None, :])
+                self_mask = self_padding_mask[:, None, None, :]
             rows = None
         else:
             # incremental: queries are the current step(s); keys = cache

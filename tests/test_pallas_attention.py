@@ -1,0 +1,63 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofasys_tpu.ops.attention import causal_mask, dot_product_attention
+from ofasys_tpu.ops.pallas_attention import flash_attention, flash_supported
+
+
+def rand(shape, key, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("with_bias", [False, True])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_flash_matches_xla(causal, with_bias, with_mask):
+    B, Tq, Tk, H, D = 2, 128, 128, 4, 64
+    q, k, v = rand((B, Tq, H, D), 0), rand((B, Tk, H, D), 1), rand((B, Tk, H, D), 2)
+    bias = rand((1, H, Tq, Tk), 3) * 0.5 if with_bias else None
+    mask = None
+    keep = None
+    if with_mask:
+        keep = jnp.asarray(np.random.default_rng(0).random((B, Tk)) > 0.2)
+        mask = keep[:, None, None, :]
+    ref_mask = mask
+    if causal:
+        cm = causal_mask(Tq, Tk)
+        ref_mask = cm if ref_mask is None else jnp.logical_and(ref_mask, cm)
+    ref = dot_product_attention(q, k, v, bias=bias, mask=ref_mask, scale=0.125)
+    out = flash_attention(q, k, v, bias=bias, mask=mask, scale=0.125, causal=causal)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_multiblock():
+    B, T, H, D = 1, 384, 2, 64
+    q, k, v = rand((B, T, H, D), 0), rand((B, T, H, D), 1), rand((B, T, H, D), 2)
+    ref = dot_product_attention(q, k, v, scale=0.1, mask=causal_mask(T, T))
+    out = flash_attention(q, k, v, scale=0.1, causal=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_gradients_match():
+    B, T, H, D = 1, 128, 2, 32
+    q, k, v = rand((B, T, H, D), 0), rand((B, T, H, D), 1), rand((B, T, H, D), 2)
+    bias = rand((1, H, T, T), 3) * 0.1
+
+    def loss_flash(q, k, v, bias):
+        return flash_attention(q, k, v, bias=bias, scale=0.2, causal=True).sum()
+
+    def loss_ref(q, k, v, bias):
+        return dot_product_attention(q, k, v, bias=bias, mask=causal_mask(T, T), scale=0.2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_supported_gate():
+    assert flash_supported(128, 128, 64, 0.0)
+    assert not flash_supported(128, 128, 64, 0.1)   # dropout -> XLA path
+    assert not flash_supported(100, 130, 64, 0.0)   # unaligned
