@@ -2,5 +2,6 @@ from ofasys_tpu.adaptor.base import AdaptorOutput, BaseAdaptor, BaseAdaptorConfi
 from ofasys_tpu.adaptor.general import GeneralAdaptor
 from ofasys_tpu.adaptor import text  # registers "text"
 from ofasys_tpu.adaptor import image  # registers image adaptors
+from ofasys_tpu.adaptor import audio  # registers audio adaptors
 
 __all__ = ["AdaptorOutput", "BaseAdaptor", "BaseAdaptorConfig", "GeneralAdaptor"]

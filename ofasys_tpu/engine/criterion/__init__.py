@@ -8,3 +8,10 @@ __all__ = [
     "BaseCriterion", "CriterionConfig",
     "LabelSmoothedCrossEntropyCriterion", "LabelSmoothedCrossEntropyCriterionConfig",
 ]
+
+from ofasys_tpu.engine.criterion.cross_entropy import (
+    CrossEntropyCriterion,
+    SpeechPretrainCriterion,
+    SpeechToTextCriterion,
+)
+from ofasys_tpu.engine.criterion.tacotron2_loss import Tacotron2Criterion

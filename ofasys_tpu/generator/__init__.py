@@ -7,8 +7,9 @@ from ofasys_tpu.generator.base import (
     SpeechGeneratorOutput,
 )
 from ofasys_tpu.generator.sequence_generator import SequenceGenerator
+from ofasys_tpu.generator.speech_generator import AutoRegressiveSpeechGenerator
 
 __all__ = [
     "GeneratorOutput", "SequenceGeneratorOutput", "SpeechGeneratorOutput",
-    "MotionOutput", "MultiGeneratorOutput", "BatchGeneratorOutput", "SequenceGenerator",
+    "MotionOutput", "MultiGeneratorOutput", "BatchGeneratorOutput", "SequenceGenerator", "AutoRegressiveSpeechGenerator",
 ]

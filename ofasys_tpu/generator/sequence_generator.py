@@ -180,7 +180,7 @@ class SequenceGenerator:
             tokens = jax.lax.dynamic_slice_in_dim(
                 carry_seq.reshape(N, T_buf), step, 1, axis=1
             )
-            logits, new_cache = net.apply(
+            logits, _, new_cache = net.apply(
                 {"params": params}, tokens, step, enc, bias_spec, cross_bias, cache,
                 tgt_slot, method=net.decode_step,
             )

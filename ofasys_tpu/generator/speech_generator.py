@@ -1,0 +1,100 @@
+"""Autoregressive speech (TTS) generator
+(reference ofasys/generator/speech_generator.py:84-200).
+
+Frame-synchronous lax.while_loop: each step feeds the last generated mel
+frame through the decoder (prenet adaptor), collects the postnet-refined
+frame and an EOS probability; a sample stops when sigmoid(eos) > threshold.
+The python frame loop of the reference becomes one compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofasys_tpu.generator.base import SpeechGeneratorOutput
+from ofasys_tpu.utils.pytree import SlotBatch
+
+
+class AutoRegressiveSpeechGenerator:
+    def __init__(
+        self,
+        model,
+        num_mels: int = 80,
+        n_frames_per_step: int = 1,
+        max_iter: int = 512,
+        eos_prob_threshold: float = 0.5,
+    ):
+        self.model = model
+        self.out_dim = num_mels * n_frames_per_step
+        self.max_iter = max_iter
+        self.eos_prob_threshold = eos_prob_threshold
+        self._compiled: Dict[Any, Any] = {}
+
+    def generate(self, params, sample: Dict[str, Any], seed: int = 0) -> List[SpeechGeneratorOutput]:
+        slots = sample["net_input"]["slots"]
+        src_slots = [s for s in slots if s.is_src]
+        tgt_slot = SlotBatch.target_slot(slots)
+        B = next(iter(src_slots[0].value.values())).shape[0]
+        key = B
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self._generate)
+        frames, eos_probs, lengths = self._compiled[key](
+            params, src_slots, tgt_slot, jax.random.PRNGKey(seed)
+        )
+        frames = np.asarray(frames)
+        lengths = np.asarray(lengths)
+        outs = []
+        for b in range(B):
+            L = int(lengths[b])
+            outs.append(SpeechGeneratorOutput(
+                feature=frames[b, :L],
+                eos_prob=np.asarray(eos_probs)[b, :L],
+            ))
+        return outs
+
+    def _generate(self, params, src_slots, tgt_slot, rng):
+        net = self.model.net
+        enc = net.apply({"params": params}, src_slots, method=net.encode)
+        B = enc.x.shape[0]
+        T = self.max_iter
+        dummy = dataclasses.replace(
+            tgt_slot, value={"inputs": jnp.zeros((B, T + 1, self.out_dim), jnp.float32)}
+        )
+        bias_spec, cross_bias, cache = net.apply(
+            {"params": params}, [dummy], enc, T + 1, method=net.decode_prepare
+        )
+
+        frames = jnp.zeros((B, T + 1, self.out_dim), jnp.float32)  # frame 0 = zero "go" frame
+        eos_probs = jnp.zeros((B, T + 1), jnp.float32)
+        done = jnp.zeros((B,), bool)
+        lengths = jnp.full((B,), T, jnp.int32)
+
+        def cond(state):
+            step, frames, eos_probs, done, lengths, cache, rng = state
+            return (step < T) & jnp.logical_not(done.all())
+
+        def body(state):
+            step, frames, eos_probs, done, lengths, cache, rng = state
+            cur = jax.lax.dynamic_slice_in_dim(frames, step, 1, axis=1)    # (B,1,M)
+            rng, sub = jax.random.split(rng)
+            mel, extra, cache = net.apply(
+                {"params": params}, cur, step, enc, bias_spec, cross_bias, cache,
+                tgt_slot, method=net.decode_step, rngs={"dropout": sub},
+            )
+            eos_p = jax.nn.sigmoid(extra["eos_logits"][:, -1])             # (B,)
+            newly_done = jnp.logical_and(eos_p > self.eos_prob_threshold, ~done)
+            lengths = jnp.where(newly_done, step + 1, lengths)
+            frames = jax.lax.dynamic_update_slice_in_dim(frames, mel.astype(jnp.float32), step + 1, axis=1)
+            eos_probs = jax.lax.dynamic_update_slice_in_dim(
+                eos_probs, eos_p[:, None], step + 1, axis=1
+            )
+            return (step + 1, frames, eos_probs, done | newly_done, lengths, cache, rng)
+
+        state = (jnp.int32(0), frames, eos_probs, done, lengths, cache, rng)
+        _, frames, eos_probs, done, lengths, cache, rng = jax.lax.while_loop(cond, body, state)
+        return frames[:, 1:], eos_probs[:, 1:], lengths

@@ -173,7 +173,7 @@ class GeneralistNet(nn.Module):
         cache: Dict[str, Any],
         tgt_slot: SlotBatch,
     ):
-        """One decode step: returns (logits (B, S, V), new_cache)."""
+        """One decode step: returns (output (B, S, ...), extra, new_cache)."""
         step_slot = dataclasses.replace(
             tgt_slot, value={"inputs": tokens, "pos_offset": step}
         )
@@ -191,7 +191,7 @@ class GeneralistNet(nn.Module):
         )
         extra: Dict[str, Any] = {}
         out, extra = self.decoder_adaptor.forward_output(x, extra, [step_slot])
-        return out, new_cache
+        return out, extra, new_cache
 
 
 @register_config("ofasys.model", "unify", GeneralistModelConfig)

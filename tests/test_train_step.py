@@ -127,7 +127,7 @@ def test_incremental_decode_matches_full_forward():
     )
     step_logits = []
     for t in range(Tt):
-        logits, cache = m.net.apply(
+        logits, _, cache = m.net.apply(
             variables,
             jnp.asarray(prev[:, t:t + 1]),
             jnp.int32(t),
