@@ -3,5 +3,6 @@ from ofasys_tpu.adaptor.general import GeneralAdaptor
 from ofasys_tpu.adaptor import text  # registers "text"
 from ofasys_tpu.adaptor import image  # registers image adaptors
 from ofasys_tpu.adaptor import audio  # registers audio adaptors
+from ofasys_tpu.adaptor import motion  # registers motion_6d
 
 __all__ = ["AdaptorOutput", "BaseAdaptor", "BaseAdaptorConfig", "GeneralAdaptor"]

@@ -15,3 +15,4 @@ from ofasys_tpu.engine.criterion.cross_entropy import (
     SpeechToTextCriterion,
 )
 from ofasys_tpu.engine.criterion.tacotron2_loss import Tacotron2Criterion
+from ofasys_tpu.engine.criterion.diffusion_loss import DiffusionCriterion

@@ -8,6 +8,7 @@ from ofasys_tpu.generator.base import (
 )
 from ofasys_tpu.generator.sequence_generator import SequenceGenerator
 from ofasys_tpu.generator.speech_generator import AutoRegressiveSpeechGenerator
+from ofasys_tpu.generator.diffusion_generator import DiffusionGenerator
 
 __all__ = [
     "GeneratorOutput", "SequenceGeneratorOutput", "SpeechGeneratorOutput",

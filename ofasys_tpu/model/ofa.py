@@ -115,13 +115,28 @@ class GeneralistNet(nn.Module):
         self,
         slots: List[SlotBatch],
         deterministic: bool = True,
+        full_context: bool = False,
     ) -> Tuple[jax.Array, Dict[str, Any]]:
         """Full forward: returns (output, extra); for text-like targets the
-        output is vocab logits (B, Tt, V)."""
+        output is vocab logits (B, Tt, V). ``full_context=True`` drops the
+        causal mask (diffusion decoder, reference full_context_alignment)."""
         src_slots = SlotBatch.source_slots(slots)
         tgt_slots = [s for s in slots if not s.is_src]
         enc = self.encode(src_slots, deterministic=deterministic) if src_slots else None
+        return self.decode_full(tgt_slots, enc, deterministic=deterministic,
+                                full_context=full_context, all_slots=slots)
 
+    def decode_full(
+        self,
+        tgt_slots: List[SlotBatch],
+        enc: Optional[EncoderOut],
+        deterministic: bool = True,
+        full_context: bool = False,
+        all_slots: Optional[List[SlotBatch]] = None,
+    ) -> Tuple[jax.Array, Dict[str, Any]]:
+        """Decoder-side forward against a (possibly reused) encoder-out —
+        the diffusion sampler calls this per step without re-encoding
+        (reference build_denoise_fn reuse_encoder_out)."""
         d = self.decoder_adaptor(tgt_slots, deterministic=deterministic)
         cb = None
         if enc is not None:
@@ -135,9 +150,10 @@ class GeneralistNet(nn.Module):
             cross_bias=cb,
             deterministic=deterministic,
             modal_spans=d.modal_spans if self.cfg.modal_ffn else None,
+            full_context=full_context,
         )
         extra: Dict[str, Any] = {"decoder_hidden": x}
-        out, extra = self.decoder_adaptor.forward_output(x, extra, slots)
+        out, extra = self.decoder_adaptor.forward_output(x, extra, all_slots or tgt_slots)
         return out, extra
 
     # ------------------------------------------------- incremental decoding
@@ -239,8 +255,10 @@ class GeneralistModel:
         )
         return init(rng, sample_slots)
 
-    def apply(self, params, slots: List[SlotBatch], deterministic: bool = True, rngs=None):
-        return self.net.apply({"params": params}, slots, deterministic=deterministic, rngs=rngs)
+    def apply(self, params, slots: List[SlotBatch], deterministic: bool = True, rngs=None,
+              full_context: bool = False):
+        return self.net.apply({"params": params}, slots, deterministic=deterministic,
+                              rngs=rngs, full_context=full_context)
 
     @property
     def num_params(self):

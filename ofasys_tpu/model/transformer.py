@@ -315,6 +315,7 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
         cache: Optional[Dict[str, Any]] = None,
         modal_spans=None,
+        full_context: bool = False,
     ):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
@@ -328,7 +329,7 @@ class TransformerDecoderLayer(nn.Module):
             cfg.decoder.embed_dim, cfg.decoder.attention_heads,
             scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
-        )(h, bias=self_bias, mask=self_mask, causal=(cache is None),
+        )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
         if cache is not None:
@@ -427,6 +428,7 @@ class TransformerDecoder(nn.Module):
         cache: Optional[Dict[str, Any]] = None,
         cache_index: Optional[jax.Array] = None,
         modal_spans=None,
+        full_context: bool = False,
     ):
         cfg = self.cfg
         B, Tt = x.shape[:2]
@@ -469,6 +471,7 @@ class TransformerDecoder(nn.Module):
                 deterministic=deterministic,
                 cache=None if cache is None else cache[f"layers_{i}"],
                 modal_spans=modal_spans,
+                full_context=full_context,
             )
             if cache is not None:
                 new_cache[f"layers_{i}"] = layer_cache

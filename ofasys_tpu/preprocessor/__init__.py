@@ -13,6 +13,7 @@ from ofasys_tpu.preprocessor import text  # noqa: F401
 from ofasys_tpu.preprocessor import image  # noqa: F401
 from ofasys_tpu.preprocessor import box  # noqa: F401
 from ofasys_tpu.preprocessor import audio  # noqa: F401
+from ofasys_tpu.preprocessor import motion  # noqa: F401
 
 __all__ = [
     "Dictionary",
