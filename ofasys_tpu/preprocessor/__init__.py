@@ -14,6 +14,9 @@ from ofasys_tpu.preprocessor import image  # noqa: F401
 from ofasys_tpu.preprocessor import box  # noqa: F401
 from ofasys_tpu.preprocessor import audio  # noqa: F401
 from ofasys_tpu.preprocessor import motion  # noqa: F401
+from ofasys_tpu.preprocessor import struct  # noqa: F401
+from ofasys_tpu.preprocessor import video  # noqa: F401
+from ofasys_tpu.preprocessor import image_vqgan  # noqa: F401
 
 __all__ = [
     "Dictionary",

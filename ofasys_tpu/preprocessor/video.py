@@ -1,0 +1,84 @@
+"""Video preprocessor (reference ofasys/preprocessor/default/video.py, 575 LoC).
+
+Decodes to a fixed number of frames (uniform clip sampling), applies the
+image pipeline per frame, emits (N, H, W, 3). Sources: ndarray (T,H,W,3),
+list of PIL/arrays, GIF bytes/path via PIL, or .npy path. (pyav/decord
+container decode is attach-on-availability — not in this image.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List
+
+import numpy as np
+
+from ofasys_tpu.configure import register_config
+from ofasys_tpu.preprocessor.base import CollateOutput, PreprocessSkipException
+from ofasys_tpu.preprocessor.image import ImagePreprocess, ImagePreprocessConfig, resize_image
+from ofasys_tpu.preprocessor.instruction import Slot
+
+
+@dataclass
+class VideoPreprocessConfig(ImagePreprocessConfig):
+    num_frames: int = 8
+    sample_mode: str = "uniform"    # 'uniform' | 'random' clip offsets
+
+
+@register_config("ofasys.preprocess", "video", VideoPreprocessConfig)
+class VideoPreprocess(ImagePreprocess):
+    def load_frames(self, value: Any) -> List[np.ndarray]:
+        from PIL import Image
+
+        if isinstance(value, np.ndarray) and value.ndim == 4:
+            return [value[i] for i in range(value.shape[0])]
+        if isinstance(value, (list, tuple)):
+            from ofasys_tpu.preprocessor.image import load_image
+
+            return [load_image(v) for v in value]
+        if isinstance(value, str) and value.endswith(".npy"):
+            arr = np.load(value)
+            return [arr[i] for i in range(arr.shape[0])]
+        # animated image (GIF) path/bytes
+        import io as _io
+
+        img = Image.open(value if isinstance(value, str) else _io.BytesIO(value))
+        frames = []
+        try:
+            for i in range(10000):
+                img.seek(i)
+                frames.append(np.asarray(img.convert("RGB"), np.float32))
+        except EOFError:
+            pass
+        if not frames:
+            raise PreprocessSkipException("no decodable frames")
+        return frames
+
+    def sample_frames(self, frames: List[np.ndarray], split: str) -> List[np.ndarray]:
+        n = self.cfg.num_frames
+        T = len(frames)
+        if T >= n:
+            if self.cfg.sample_mode == "random" and split == "train":
+                offsets = sorted(self.rng.choice(T, size=n, replace=False))
+            else:
+                offsets = np.linspace(0, T - 1, n).round().astype(int)
+        else:
+            offsets = list(range(T)) + [T - 1] * (n - T)
+        return [frames[int(i)] for i in offsets]
+
+    def map(self, slot: Slot) -> Slot:
+        if isinstance(slot.value, dict):
+            return slot
+        frames = self.sample_frames(self.load_frames(slot.value), slot.split)
+        size = self.cfg.patch_image_size
+        out = []
+        for f in frames:
+            f = resize_image(f, size, self.cfg.interpolation) / 255.0
+            f = (f - np.asarray(self.cfg.mean, np.float32)) / np.asarray(self.cfg.std, np.float32)
+            out.append(f.astype(np.float32))
+        slot.value = {"inputs": np.stack(out)}     # (N, H, W, 3)
+        return slot
+
+    def collate(self, slots: List[Slot]) -> CollateOutput:
+        videos = np.stack([s.value["inputs"] for s in slots])  # (B, N, H, W, 3)
+        return CollateOutput(self.to_slot_batch(slots[0], {"inputs": videos}))

@@ -1,0 +1,288 @@
+"""The task zoo: the reference's 30 registered task classes
+(ofasys/task/*.py), each a thin subclass configuring a default instruction
+template, criterion, metrics, and a raw-record ``preprocess`` hook.
+
+Data columns follow the reference's TSV conventions per task; templates are
+the documented defaults and remain user-overridable via
+``Task(..., instruction=...)`` or YAML.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import string
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ofasys_tpu.configure import register_config
+from ofasys_tpu.task.base import Task, TaskConfig
+from ofasys_tpu.task.traverse_task import TraverseTask, TraverseTaskConfig
+
+_PUNCT_RE = re.compile(f"[{re.escape(string.punctuation)}]")
+
+
+def _strip_punct(s: str) -> str:
+    return " ".join(_PUNCT_RE.sub("", s).strip().split())
+
+
+def _task(name, template, criterion="label_smoothed_cross_entropy", metrics=(), base=Task,
+          config_cls=None):
+    """Build + register a thin task class."""
+
+    cfg_cls = config_cls or (TraverseTaskConfig if issubclass(base, TraverseTask) else TaskConfig)
+
+    def __init__(self, cfg=None, **kwargs):
+        base.__init__(self, cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = template
+        if self.cfg.criterion == "label_smoothed_cross_entropy" and criterion != "label_smoothed_cross_entropy":
+            self.cfg.criterion = criterion
+        if not self.cfg.evaluation.metrics and metrics:
+            self.cfg.evaluation.metrics = tuple(metrics)
+        self.cfg.name = self.cfg.name if self.cfg.name != "default" else name
+
+    cls = type(f"{name.title().replace('_', '')}Task", (base,), {"__init__": __init__})
+    return register_config("ofasys.task", name, cfg_cls)(cls)
+
+
+# ----------------------------------------------------------------- image
+@register_config("ofasys.task", "caption", TaskConfig)
+class CaptionTask(Task):
+    """Image captioning (reference task/caption.py)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = "[IMAGE:img] what does the image describe? -> [TEXT:cap]"
+        if not self.cfg.evaluation.metrics:
+            self.cfg.evaluation.metrics = ("cider", "bleu")
+        if self.cfg.name == "default":
+            self.cfg.name = "caption"
+
+    def preprocess(self, data: Dict[str, Any], split: str) -> Optional[Dict[str, Any]]:
+        cap = data.get("cap")
+        if cap is not None:
+            cap = str(cap).lower()
+            if split == "train":
+                cap = " ".join(_strip_punct(cap).split()[:64])
+            else:
+                data["cap_list"] = [_strip_punct(c).strip() for c in cap.split("&&")]
+                cap = data["cap_list"][0]
+            data["cap"] = cap
+        return data
+
+
+_task("pretrain_caption", "[IMAGE:img] what does the image describe? -> [TEXT:cap]",
+      metrics=("cider",))
+_task("image_classify",
+      "[IMAGE:img] what does the image describe? -> [TEXT:label_name,closed_set]",
+      metrics=("accuracy",), base=TraverseTask)
+_task("image_infilling", "what is the complete image? [IMAGE:img,mask_ratio=0.5] -> [IMAGE:code,preprocess=image_vqgan,adaptor=image_vqgan]")
+_task("image_text_matching",
+      '[IMAGE:img] does the image describe " [TEXT:cap] "? -> [TEXT:label,closed_set]',
+      metrics=("accuracy",), base=TraverseTask)
+_task("image_gen", '[TEXT:cap] -> [IMAGE:code,preprocess=image_vqgan,adaptor=image_vqgan]',
+      metrics=("clip_ti",))
+
+
+# ------------------------------------------------------------------- box
+@register_config("ofasys.task", "refcoco", TaskConfig)
+class RefcocoTask(Task):
+    """Visual grounding (reference task/refcoco.py): region text -> box."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = (
+                '[IMAGE:img] which region does the text " [TEXT:text] " describe? -> [BOX:region_coord]'
+            )
+        if not self.cfg.evaluation.metrics:
+            self.cfg.evaluation.metrics = ("iou_acc",)
+        g = self.cfg.generation
+        g.beam, g.max_len_b, g.min_len = 1, 4, 4
+        if self.cfg.name == "default":
+            self.cfg.name = "refcoco"
+
+    def preprocess(self, data: Dict[str, Any], split: str) -> Dict[str, Any]:
+        # 'x0,y0,x1,y1' string columns (reference tsv format)
+        rc = data.get("region_coord")
+        if isinstance(rc, str):
+            box = np.asarray([float(v) for v in rc.split(",")], np.float32)
+            w = float(data.get("width", 1.0) or 1.0)
+            h = float(data.get("height", 1.0) or 1.0)
+            data["region_coord"] = {"box": box, "width": w, "height": h}
+        return data
+
+
+_task("grounded_captioning",
+      '[IMAGE:img] what does the region describe? region: [BOX:region_coord] -> [TEXT:text]',
+      metrics=("cider",))
+_task("object_detection",
+      '[IMAGE:img] what are the objects in the image? -> [TEXT:objects]')
+
+
+# ------------------------------------------------------------------ text
+_task("text_infilling", "what is the complete text of \" [TEXT:text,mask_ratio=0.3] \"? -> [TEXT:text]")
+_task("language_modeling", " -> [TEXT:text]")
+_task("gigaword", 'what is the summary of article " [TEXT:src] "? -> [TEXT:tgt]',
+      metrics=("rouge",))
+_task("natural_instruction_v2", "[TEXT:src] -> [TEXT:tgt]", metrics=("rouge",))
+
+
+@register_config("ofasys.task", "glue", TaskConfig)
+class GlueTask(TraverseTask):
+    """GLUE benchmark (reference task/glue_task.py): prompt templates per
+    subtask; closed-set label scoring."""
+
+    SUBTASK_TEMPLATES = {
+        "cola": ' is the text " [TEXT:sentence] " grammatically correct? -> [TEXT:label,closed_set]',
+        "sst2": ' is the sentiment of text " [TEXT:sentence] " positive? -> [TEXT:label,closed_set]',
+        "mnli": ' can text1 " [TEXT:premise] " imply text2 " [TEXT:hypothesis] "? -> [TEXT:label,closed_set]',
+        "qnli": ' does " [TEXT:sentence] " contain the answer to question " [TEXT:question] "? -> [TEXT:label,closed_set]',
+        "qqp": ' is question " [TEXT:question1] " and question " [TEXT:question2] " equivalent? -> [TEXT:label,closed_set]',
+        "mrpc": ' does text1 " [TEXT:sentence1] " and text2 " [TEXT:sentence2] " have the same semantics? -> [TEXT:label,closed_set]',
+        "rte": ' can text1 " [TEXT:sentence1] " imply text2 " [TEXT:sentence2] "? -> [TEXT:label,closed_set]',
+        "stsb": ' is the similarity of text1 " [TEXT:sentence1] " and text2 " [TEXT:sentence2] " high? -> [TEXT:label,closed_set]',
+    }
+
+    def __init__(self, cfg=None, subtask: str = "cola", **kwargs):
+        super().__init__(cfg, **kwargs)
+        self.subtask = subtask
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = self.SUBTASK_TEMPLATES[subtask]
+        if not self.cfg.evaluation.metrics:
+            self.cfg.evaluation.metrics = ("accuracy",) if subtask != "cola" else ("matthews_corrcoef",)
+        if self.cfg.name == "default":
+            self.cfg.name = f"glue_{subtask}"
+
+
+@register_config("ofasys.task", "sudoku", TaskConfig)
+class SudokuTask(Task):
+    """Sudoku solving via STRUCT slots (reference task/sudoku.py)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = (
+                '" [STRUCT:puzzle,preprocess=struct] " solve the sudoku. -> [STRUCT:solution,preprocess=struct]'
+            )
+        if not self.cfg.evaluation.metrics:
+            self.cfg.evaluation.metrics = ("solved_acc",)
+        if self.cfg.name == "default":
+            self.cfg.name = "sudoku"
+
+
+_task("dart", 'what is the description of table " [STRUCT:table,preprocess=struct] "? -> [TEXT:text]',
+      metrics=("bleu",))
+_task("fetaqa",
+      'answer the question " [TEXT:question] " from table " [STRUCT:table,preprocess=struct] " -> [TEXT:answer]',
+      metrics=("bleu", "rouge"))
+_task("spider",
+      '" [TEXT:question] " ; structured knowledge: " [STRUCT:database,preprocess=database] " -> [TEXT:query]',
+      metrics=("exact_match",))
+
+
+# ----------------------------------------------------------------- audio
+_task("speech_to_text", "[AUDIO:wav] what is the transcription? -> [TEXT:text]",
+      criterion="speech_to_text_loss", metrics=("wer",))
+_task("phone_to_text", "[PHONE:phone,preprocess=phone] -> [TEXT:text]", metrics=("wer",))
+_task("audio_pretraining", "[AUDIO:wav,mask=true] -> [TEXT:text]",
+      criterion="speech_pretrain_loss")
+
+
+@register_config("ofasys.task", "text_to_speech", TaskConfig)
+class TextToSpeechTask(Task):
+    """TTS (reference task/text_to_speech.py:40)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = "[TEXT:text] -> [AUDIO:wav,adaptor=audio_tgt_fbank]"
+        if self.cfg.criterion == "label_smoothed_cross_entropy":
+            self.cfg.criterion = "ofa_tacotron2"
+        if self.cfg.name == "default":
+            self.cfg.name = "text_to_speech"
+
+    def build_generator(self, model, **overrides):
+        from ofasys_tpu.generator import AutoRegressiveSpeechGenerator
+
+        self._generator = AutoRegressiveSpeechGenerator(model, **overrides)
+        return self._generator
+
+    def inference(self, model, params, sample, **gen_overrides):
+        if self._generator is None:
+            self.build_generator(model, **gen_overrides)
+        outputs = self._generator.generate(params, sample)
+        self.general_preprocess.postprocess(outputs, sample)
+        return outputs
+
+
+# ----------------------------------------------------------------- video
+_task("video_caption", "[VIDEO:video] what does the video describe? -> [TEXT:cap]",
+      metrics=("cider",))
+_task("video_classify", "[VIDEO:video] what does the video describe? -> [TEXT:label,closed_set]",
+      metrics=("accuracy",), base=TraverseTask)
+_task("video_question_answering_generative",
+      "[VIDEO:video] [TEXT:question] -> [TEXT:answer]", metrics=("accuracy",))
+_task("video_generation", "[TEXT:cap] -> [VIDEO:code,preprocess=image_vqgan]")
+
+
+# ---------------------------------------------------------------- motion
+@register_config("ofasys.task", "diffusion", TaskConfig)
+class DiffusionTask(Task):
+    """Text-to-motion diffusion (reference task/diffusion.py:27)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = (
+                'motion capture: " [TEXT:text] " -> [MOTION:bvh,preprocess=motion_6d,adaptor=motion_6d]'
+            )
+        if self.cfg.criterion == "label_smoothed_cross_entropy":
+            self.cfg.criterion = "diffusion_criterion"
+        if self.cfg.name == "default":
+            self.cfg.name = "diffusion"
+
+    def build_generator(self, model, **overrides):
+        from ofasys_tpu.generator import DiffusionGenerator
+
+        pre = self.general_preprocess.name2pre.get("motion_6d")
+        overrides.setdefault("clamp_fn", pre.clamp if pre else None)
+        self._generator = DiffusionGenerator(model, **overrides)
+        return self._generator
+
+    def inference(self, model, params, sample, **gen_overrides):
+        if self._generator is None:
+            self.build_generator(model, **gen_overrides)
+        outputs = self._generator.generate(params, sample)
+        self.general_preprocess.postprocess(outputs, sample)
+        return outputs
+
+
+# ------------------------------------------------------------------- vqa
+@register_config("ofasys.task", "vqa_gen", TaskConfig)
+class VqaGenTask(Task):
+    """Open-ended VQA (reference task/vqa_gen.py)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = "[IMAGE:img] [TEXT:question] -> [TEXT:answer]"
+        if not self.cfg.evaluation.metrics:
+            self.cfg.evaluation.metrics = ("vqa_score",)
+        if self.cfg.name == "default":
+            self.cfg.name = "vqa_gen"
+
+    def preprocess(self, data: Dict[str, Any], split: str) -> Dict[str, Any]:
+        ans = data.get("answer")
+        if isinstance(ans, str) and "|!+" in ans:
+            # reference format: 'conf|!+answer' variants
+            data["answer"] = ans.split("|!+")[-1]
+        return data
+
+
+_task("snli_ve",
+      '[IMAGE:img] can image and text1 " [TEXT:hypothesis] " imply text2 " [TEXT:caption] "? -> [TEXT:label,closed_set]',
+      metrics=("accuracy",), base=TraverseTask)
