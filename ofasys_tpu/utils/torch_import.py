@@ -1,0 +1,188 @@
+"""PyTorch checkpoint importer: reference OFASys state_dicts -> our param tree.
+
+The released checkpoints (multitask_10k.pt etc., reference
+docs/source/start/quickstart.rst:72) store a torch state_dict with fairseq
+naming (encoder./decoder. prefixes, adaptor submodules,
+token_rel_pos_table_list ModuleLists). This module maps each of OUR flax
+param paths to its reference key and transforms layouts:
+
+  torch Linear weight (out,in)   -> flax kernel (in,out)      [transpose]
+  torch Embedding weight         -> flax embedding
+  torch LayerNorm weight/bias    -> flax scale/bias
+  torch Conv2d (out,in,kh,kw)    -> flax (kh,kw,in,out)
+  rel-pos ModuleList of L tables -> one stacked (L, nb, H) param
+  BatchNorm running stats        -> FrozenBatchNorm mean/var
+
+``export_reference_state_dict`` provides the inverse (JAX -> torch naming),
+used both for interop and to round-trip-test the mapping without the real
+checkpoint (tests/test_torch_import.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def flax_to_reference_key(path: str) -> Optional[Tuple[str, str]]:
+    """Our param path -> (reference key, transform). transform in
+    {'linear', 'embed', 'ln', 'conv', 'rel_stack', 'direct'}."""
+    p = path
+
+    # shared token embedding (registered under both adaptors in the
+    # reference; encoder copy is canonical)
+    if p == "embed_tokens/embedding":
+        return "encoder.adaptor.embed_tokens.weight", "embed"
+
+    m = re.match(r"(encoder|decoder)_adaptor/(.+)", p)
+    if m:
+        side, rest = m.group(1), m.group(2)
+        base = f"{side}.adaptor"
+        if rest.startswith(("pos_q_linear", "pos_k_linear")):
+            name, leaf = rest.split("/")
+            return f"{base}.{name}.{'weight' if leaf == 'kernel' else 'bias'}", \
+                ("linear" if leaf == "kernel" else "direct")
+        # per-adaptor params: text/..., image_resnet/..., ...
+        adaptor, sub = rest.split("/", 1)
+        ab = f"{base}.{adaptor}"
+        if sub == "rel_pos_table":
+            return f"{ab}.token_rel_pos_table_list", "rel_stack"
+        if sub == "image_rel_pos_table":
+            return f"{ab}.image_rel_pos_table_list", "rel_stack"
+        if sub == "type_embedding":
+            return f"{ab}.type_embedding.weight", "direct"
+        if sub.endswith("/embedding"):
+            name = sub[: -len("/embedding")]
+            return f"{ab}.{name}.weight", "embed"
+        if "/scale" in sub or "/bias" in sub:
+            name, leaf = sub.rsplit("/", 1)
+            torch_leaf = "weight" if leaf == "scale" else "bias"
+            return f"{ab}.{name.replace('/', '.')}.{torch_leaf}", "direct"
+        if sub.endswith("/kernel"):
+            name = sub[: -len("/kernel")].replace("/", ".")
+            return f"{ab}.{name}.weight", "linear"
+        return f"{ab}.{sub.replace('/', '.')}", "direct"
+
+    m = re.match(r"(encoder|decoder)/layers_(\d+)/(.+)", p)
+    if m:
+        side, i, rest = m.groups()
+        base = f"{side}.layers.{i}"
+        # my ffn/* maps to flat fc1/fc2/ffn_layernorm in the reference;
+        # attn LN names (attn_ln / self_attn_ln / cross_attn_ln) already match
+        rest = rest.replace("ffn/fc2_ln", "ffn_layernorm").replace("ffn/", "")
+        if rest.endswith("/kernel"):
+            return f"{base}.{rest[:-7].replace('/', '.')}.weight", "linear"
+        if rest.endswith("/scale"):
+            return f"{base}.{rest[:-6].replace('/', '.')}.weight", "direct"
+        if rest.endswith("/bias"):
+            return f"{base}.{rest[:-5].replace('/', '.')}.bias", "direct"
+        if rest.endswith("c_attn"):
+            return f"{base}.{rest.replace('/', '.')}", "direct"
+        if rest == "w_resid":
+            return f"{base}.w_resid", "direct"
+        return f"{base}.{rest.replace('/', '.')}", "direct"
+
+    m = re.match(r"(encoder|decoder)/layer_norm/(scale|bias)", p)
+    if m:
+        side, leaf = m.groups()
+        return f"{side}.layer_norm.{'weight' if leaf == 'scale' else 'bias'}", "direct"
+
+    m = re.match(r"cross_pos_([qk])_linear/(kernel|bias)", p)
+    if m:
+        qk, leaf = m.groups()
+        return f"decoder.cross_pos_{qk}_linear.{'weight' if leaf == 'kernel' else 'bias'}", \
+            ("linear" if leaf == "kernel" else "direct")
+    return None
+
+
+def _to_flax(value: np.ndarray, transform: str, target_shape) -> np.ndarray:
+    v = np.asarray(value)
+    if transform == "linear":
+        v = v.T
+    elif transform == "conv":
+        v = v.transpose(2, 3, 1, 0)
+    if tuple(v.shape) != tuple(target_shape) and v.ndim == 4 and len(target_shape) == 4:
+        v = v.transpose(2, 3, 1, 0)
+    return v
+
+
+def import_reference_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    target_params: Dict[str, Any],
+    strict: bool = False,
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Returns (new_params, missing_ours, unused_theirs)."""
+    import jax
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    used = set()
+    missing: List[str] = []
+    out_leaves = []
+    for path, leaf in flat:
+        p = _path_str(path)
+        mapped = flax_to_reference_key(p)
+        new = None
+        if mapped is not None:
+            key, transform = mapped
+            if transform == "rel_stack":
+                L = leaf.shape[0]
+                tables = []
+                for i in range(L):
+                    k = f"{key}.{i}.weight"
+                    if k in state_dict:
+                        tables.append(np.asarray(state_dict[k]))
+                        used.add(k)
+                if len(tables) == L:
+                    new = np.stack(tables)
+            elif key in state_dict:
+                new = _to_flax(state_dict[key], transform, leaf.shape)
+                used.add(key)
+        if new is not None and tuple(new.shape) == tuple(leaf.shape):
+            out_leaves.append(new.astype(np.asarray(leaf).dtype))
+        else:
+            if mapped is not None:
+                missing.append(p)
+            out_leaves.append(leaf)
+    unused = [k for k in state_dict if k not in used]
+    if strict and missing:
+        raise KeyError(f"missing {len(missing)} params, e.g. {missing[:5]}")
+    return jax.tree_util.tree_unflatten(treedef, out_leaves), missing, unused
+
+
+def export_reference_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse mapping: our params -> torch-named state_dict (numpy)."""
+    import jax
+
+    out: Dict[str, np.ndarray] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        p = _path_str(path)
+        mapped = flax_to_reference_key(p)
+        if mapped is None:
+            continue
+        key, transform = mapped
+        v = np.asarray(leaf)
+        if transform == "linear":
+            out[key] = v.T
+        elif transform == "conv":
+            out[key] = v.transpose(3, 2, 0, 1)
+        elif transform == "rel_stack":
+            for i in range(v.shape[0]):
+                out[f"{key}.{i}.weight"] = v[i]
+        else:
+            out[key] = v
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch .pt checkpoint to a numpy state_dict (CPU)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    sd = state.get("model", state.get("state_dict", state))
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
