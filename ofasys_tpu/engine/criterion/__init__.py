@@ -16,3 +16,4 @@ from ofasys_tpu.engine.criterion.cross_entropy import (
 )
 from ofasys_tpu.engine.criterion.tacotron2_loss import Tacotron2Criterion
 from ofasys_tpu.engine.criterion.diffusion_loss import DiffusionCriterion
+from ofasys_tpu.engine.criterion.scst_loss import ScstRewardCriterion, scst_train_step
