@@ -104,16 +104,46 @@ def measure_tpu():
 
     state, _ = step(state, batch, rng)  # compile
     jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, batch, rng)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    return B * STEPS / dt
+    # median over chunks: the shared-tunnel link adds multi-second jitter
+    rates = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = step(state, batch, rng)
+        jax.block_until_ready(state.params)
+        rates.append(B * STEPS / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def measure_decode_latency():
+    """Greedy caption-style decode p50 (BASELINE metric #2): base arch,
+    batch 1, 32 source tokens -> up to 16 generated tokens."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _build
+    from ofasys_tpu.generator import SequenceGenerator
+
+    model, d, batch = _build(arch=ARCH, B=1, Ts=32, Tt=16, vocab_extra=VOCAB_EXTRA)
+    params = model.init_params(jax.random.PRNGKey(0), batch["net_input"]["slots"])
+    gen = SequenceGenerator(model, d, beam_size=1, max_len_b=16, min_len=15)
+    sample = {"net_input": {"slots": batch["net_input"]["slots"]}}
+    gen.generate(params, sample)  # compile
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        gen.generate(params, sample)
+        lats.append(time.perf_counter() - t0)
+    return float(np.median(lats)) * 1000.0
 
 
 def main():
     tpu = measure_tpu()
+    try:
+        p50_ms = round(measure_decode_latency(), 2)
+    except Exception:
+        p50_ms = None
     try:
         base = get_baseline()
     except Exception:
@@ -123,6 +153,7 @@ def main():
         "value": round(tpu, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(tpu / base, 2) if base else None,
+        "decode_p50_ms_16tok": p50_ms,
     }
     print(json.dumps(out))
 

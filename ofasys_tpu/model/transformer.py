@@ -86,6 +86,21 @@ class BiasSpec:
             out = ab if out is None else out + ab
         return out
 
+    def layer_bias_rows(self, layer_idx: int, start: jax.Array, size: int) -> Optional[jax.Array]:
+        """Decode-path bias: only ``size`` query rows starting at traced
+        ``start`` — gathers O(size * Tk) instead of materializing the full
+        (H, Tq, Tk) bias every step."""
+        out = None
+        if self.tables is not None and self.bucket is not None:
+            n_tables = self.tables.shape[0]
+            rows = jax.lax.dynamic_slice_in_dim(jnp.asarray(self.bucket), start, size, axis=0)
+            rel = self.tables[min(layer_idx, n_tables - 1)][rows]   # (size, Tk, H)
+            out = jnp.transpose(rel, (2, 0, 1))[None]               # (1, H, size, Tk)
+        if self.abs_bias is not None:
+            ab = jax.lax.dynamic_slice_in_dim(self.abs_bias, start, size, axis=2)
+            out = ab if out is None else out + ab
+        return out
+
 
 class MultiheadAttention(nn.Module):
     """QKV attention with additive bias, per-head output scaling, and an
@@ -455,9 +470,8 @@ class TransformerDecoder(nn.Module):
                 if cache is None:
                     self_bias = self_bias_spec.layer_bias(i)
                 else:
-                    # gather the bias row(s) for the current decode position
-                    full = self_bias_spec.layer_bias(i)  # (1, H, Tmax, Tmax)
-                    self_bias = jax.lax.dynamic_slice_in_dim(full, cache_index, Tt, axis=2)
+                    # O(Tk) row gather instead of materializing (H, T, T)
+                    self_bias = self_bias_spec.layer_bias_rows(i, cache_index, Tt)
             else:
                 self_bias = None
             cb = cross_bias
