@@ -33,6 +33,7 @@ from ofasys_tpu.configure import ConfigStore, TrainerConfig, to_dict
 from ofasys_tpu.engine.optim import build_lr_schedule, build_optimizer
 from ofasys_tpu.engine.train_step import TrainState, make_train_step, make_valid_step
 from ofasys_tpu.logging.meters import AverageMeter, MetersDict, TimeMeter
+from ofasys_tpu.logging.progress_bar import build_progress_bar
 from ofasys_tpu.parallel import build_mesh, make_sharded_train_step, put_batch, shard_tree, tree_shardings
 from ofasys_tpu.preprocessor.dictionary import Dictionary
 from ofasys_tpu.utils import checkpoint_utils
@@ -118,6 +119,9 @@ class Trainer:
             )
 
         # 6) the update loop
+        self.progress = build_progress_bar(
+            cfg.common.log_format, tensorboard_logdir=cfg.common.tensorboard_logdir
+        )
         rng = jax.random.PRNGKey(cfg.common.seed)
         iterators = {t.name: iter(self._task_batches(t, dp_rank=0, dp_size=1)) for t in tasks}
         self.meters.add_meter("ups", TimeMeter(round=2))
@@ -183,8 +187,11 @@ class Trainer:
 
     def _print_progress(self, update: int, total: int):
         vals = self.meters.get_smoothed_values()
-        msg = " | ".join(f"{k} {v}" for k, v in vals.items())
-        logger.info("update %d/%d | %s", update, total, msg)
+        if getattr(self, "progress", None) is not None:
+            self.progress.log(vals, tag="train", step=update)
+        else:
+            msg = " | ".join(f"{k} {v}" for k, v in vals.items())
+            logger.info("update %d/%d | %s", update, total, msg)
 
     # ----------------------------------------------------------- validate
     def validate(self, task, max_batches: Optional[int] = None) -> Dict[str, float]:
