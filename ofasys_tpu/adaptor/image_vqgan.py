@@ -39,10 +39,15 @@ class ImageVqganAdaptor(BaseAdaptor):
 
         grid = acfg.code_image_size // acfg.code_downsample
         bucket_size = acfg.image_bucket_size
-        # grid positions for the code raster; +1 row for the leading bos step
+        # grid positions for the code raster; +1 row for the leading bos step;
+        # pad with CLS slot 0 so padded/overlong buffers still index validly
         pos_grid = (np.arange(grid)[None, :] + np.arange(grid)[:, None] * bucket_size + 1).reshape(-1)
         pos_ids_full = np.concatenate([[0], pos_grid]).astype(np.int32)   # bos gets CLS slot 0
-        max_needed = grid * grid + 1
+        if len(pos_ids_full) < T + 1:
+            pos_ids_full = np.concatenate(
+                [pos_ids_full, np.zeros(T + 1 - len(pos_ids_full), np.int32)]
+            )
+        max_needed = len(pos_ids_full)
         embed_positions = nn.Embed(
             bucket_size * bucket_size + 1, self.embed_dim, dtype=self.dtype,
             embedding_init=nn.initializers.normal(0.02), name="embed_image_positions",

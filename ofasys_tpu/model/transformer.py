@@ -269,12 +269,13 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(
         self,
         x: jax.Array,
-        *,
         mask: Optional[jax.Array] = None,
         bias: Optional[jax.Array] = None,
         deterministic: bool = True,
         modal_spans=None,
     ):
+        # args are positional (no *) so nn.remat can mark deterministic and
+        # modal_spans static (jax.checkpoint rejects kwargs)
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
         dropout = nn.Dropout(cfg.dropout)
@@ -411,11 +412,12 @@ class TransformerEncoder(nn.Module):
         dpr = np.linspace(0.0, cfg.encode_drop_path_rate, n_layers)
         layer_cls = TransformerEncoderLayer
         if cfg.remat == "full":
-            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4,))
+            # deterministic (3) and modal_spans (4) are static python values
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3, 4))
         for i in range(n_layers):
             layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
             bias = bias_spec.layer_bias(i) if bias_spec is not None else None
-            x = layer(x, mask=attn_mask, bias=bias, deterministic=deterministic, modal_spans=modal_spans)
+            x = layer(x, attn_mask, bias, deterministic, modal_spans)
         if cfg.encoder.normalize_before:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x)
         return x
