@@ -120,7 +120,8 @@ class Trainer:
 
         # 6) the update loop
         self.progress = build_progress_bar(
-            cfg.common.log_format, tensorboard_logdir=cfg.common.tensorboard_logdir
+            cfg.common.log_format, tensorboard_logdir=cfg.common.tensorboard_logdir,
+            wandb_project=cfg.common.wandb_project,
         )
         rng = jax.random.PRNGKey(cfg.common.seed)
         iterators = {t.name: iter(self._task_batches(t, dp_rank=0, dp_size=1)) for t in tasks}

@@ -103,12 +103,42 @@ class TensorboardWrapper(BaseProgressBar):
         self.log(stats, tag=tag, step=step)
 
 
+class WandBWrapper(BaseProgressBar):
+    """Weights & Biases sink (reference progress_bar.py:390); requires the
+    wandb package + credentials, silently disabled otherwise."""
+
+    def __init__(self, inner: BaseProgressBar, project: str):
+        super().__init__(inner.iterable, inner.epoch, inner.prefix)
+        self.inner = inner
+        try:
+            import wandb
+
+            self.wandb = wandb
+            if wandb.run is None:
+                wandb.init(project=project, reinit=False)
+        except Exception:
+            self.wandb = None
+
+    def log(self, stats, tag=None, step=None):
+        if self.wandb is not None:
+            prefix = f"{tag}/" if tag else ""
+            self.wandb.log({prefix + k: v for k, v in stats.items() if isinstance(v, Number)},
+                           step=step)
+        self.inner.log(stats, tag=tag, step=step)
+
+    def print(self, stats, tag=None, step=None):
+        self.log(stats, tag=tag, step=step)
+
+
 def build_progress_bar(log_format: str = "simple", iterable=None, epoch=None,
-                       tensorboard_logdir: Optional[str] = None) -> BaseProgressBar:
+                       tensorboard_logdir: Optional[str] = None,
+                       wandb_project: Optional[str] = None) -> BaseProgressBar:
     cls = {"json": JsonProgressBar, "simple": SimpleProgressBar, "none": NoneProgressBar}.get(
         log_format, SimpleProgressBar
     )
     bar: BaseProgressBar = cls(iterable, epoch)
     if tensorboard_logdir:
         bar = TensorboardWrapper(bar, tensorboard_logdir)
+    if wandb_project:
+        bar = WandBWrapper(bar, wandb_project)
     return bar
