@@ -31,7 +31,7 @@ def _flash_kernel(
     q_ref, k_ref, v_ref, bias_ref, mask_ref,   # inputs (some may be None)
     o_ref,                                     # output (1, Bq, D)
     m_scr, l_scr, acc_scr,                     # VMEM scratch
-    *, scale: float, causal: bool, Bq: int, Bk: int, n_k: int,
+    *, scale: float, causal: bool, Bq: int, Bk: int, n_k: int, Tk: int,
 ):
     kb = pl.program_id(2)
 
@@ -62,6 +62,12 @@ def _flash_kernel(
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
             cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
             s = jnp.where(cols <= rows, s, MASK_VALUE)
+        if n_k * Bk != Tk:
+            # partial final k-block: pallas pads out-of-bounds reads with
+            # garbage — mask key columns past Tk (applied last so padded
+            # bias/mask garbage is overridden too)
+            cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
+            s = jnp.where(cols < Tk, s, MASK_VALUE)
 
         m_prev = m_scr[:]                            # (Bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -70,6 +76,10 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0]                                 # (Bk, D) storage dtype
+        if n_k * Bk != Tk:
+            # padded v rows may be NaN/garbage; p is 0 there but 0*NaN=NaN
+            vrows = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bk, 1), 0)
+            v = jnp.where(vrows < Tk, v, 0)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -129,7 +139,7 @@ def _flash_forward(
         _flash_kernel_dispatch,
         has_bias=bias is not None,
         has_mask=mask is not None,
-        scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_k=n_k,
+        scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_k=n_k, Tk=Tk,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
     return pl.pallas_call(

@@ -57,6 +57,24 @@ def test_flash_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("T", [640, 768])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_partial_final_kblock(T, causal):
+    """Tk > block_k but not a multiple of it: the kernel must mask padded
+    key columns of the partial final k-block (regression: padded garbage
+    entered the online softmax and produced NaN)."""
+    B, H, D = 2, 2, 64
+    q, k, v = rand((B, T, H, D), 0), rand((B, T, H, D), 1), rand((B, T, H, D), 2)
+    bias = rand((1, H, T, T), 3) * 0.5
+    keep = jnp.asarray(np.random.default_rng(0).random((B, T)) > 0.2).at[:, 0].set(True)
+    mask = keep[:, None, None, :]
+    ref_mask = jnp.logical_and(mask, causal_mask(T, T)) if causal else mask
+    ref = dot_product_attention(q, k, v, bias=bias, mask=ref_mask, scale=0.125)
+    out = flash_attention(q, k, v, bias=bias, mask=mask, scale=0.125, causal=causal)
+    assert not bool(jnp.any(jnp.isnan(out)))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-3)
+
+
 def test_flash_supported_gate():
     assert flash_supported(128, 128, 64, 0.0)
     assert not flash_supported(128, 128, 64, 0.1)   # dropout -> XLA path
