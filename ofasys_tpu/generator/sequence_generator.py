@@ -114,7 +114,15 @@ class SequenceGenerator:
         tgt_slot = SlotBatch.target_slot(slots)
         B = src_slots[0].value["inputs"].shape[0] if isinstance(src_slots[0].value, dict) else \
             next(iter(src_slots[0].value.values())).shape[0]
-        max_len = int(self.max_len_a * 0 + self.max_len_b)
+        # max_len = a * src_len + b (reference sequence_generator.py:213);
+        # src lengths are static per template so the jit cache key is stable
+        src_len = 0
+        for s in src_slots:
+            v = s.value if isinstance(s.value, dict) else {}
+            x = v.get("inputs")
+            if x is not None and getattr(x, "ndim", 0) == 2:
+                src_len = max(src_len, int(x.shape[1]))
+        max_len = int(self.max_len_a * src_len + self.max_len_b)
 
         P = 0
         if prefix_tokens is None and sample.get("prefix_tokens") is not None:

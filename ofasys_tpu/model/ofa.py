@@ -168,14 +168,27 @@ class GeneralistNet(nn.Module):
         d = self.decoder_adaptor(tgt_slots, deterministic=True)
         cb = self.cross_bias(d.pos_embed, enc.pos_embed)
         cfg = self.cfg
-        head_dim = cfg.decoder.embed_dim // cfg.decoder.attention_heads
+        H = cfg.decoder.attention_heads
+        head_dim = cfg.decoder.embed_dim // H
         B = enc.x.shape[0]
+        # precompute each layer's cross-attention K/V over the (static)
+        # encoder output once, so decode steps hit the static_kv reuse branch
+        # instead of re-projecting enc.x every step (reference incremental
+        # static_kv path, module/multihead_attention.py:150-180)
+        dec_params = self.decoder.variables["params"]
+        xs = enc.x.astype(self.dtype)
+
+        def _proj(layer_params, name):
+            w = layer_params[name]["kernel"].astype(self.dtype)
+            b = layer_params[name]["bias"].astype(self.dtype)
+            return (xs @ w + b).reshape(B, -1, H, head_dim)
+
         cache = {}
         for i in range(cfg.decoder.layers):
+            lp = dec_params[f"layers_{i}"]["encoder_attn"]
             cache[f"layers_{i}"] = {
-                "self": MultiheadAttention.init_cache(
-                    B, max_len, cfg.decoder.attention_heads, head_dim, self.dtype
-                )
+                "self": MultiheadAttention.init_cache(B, max_len, H, head_dim, self.dtype),
+                "cross": {"k": _proj(lp, "k_proj"), "v": _proj(lp, "v_proj")},
             }
         return d.bias_spec, cb, cache
 

@@ -40,11 +40,11 @@ def save_checkpoint(
     ocp = _ocp()
     ckptr = ocp.PyTreeCheckpointer()
     tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    _remove(tmp)
     ckptr.save(tmp, jax.device_get(state))
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    # path may be a symlink left by _mirror (e.g. the final explicit
+    # checkpoint_last save after interval saves) — rmtree raises on symlinks
+    _remove(path)
     os.rename(tmp, path)
     if meta is not None:
         with open(path + ".meta.json", "w") as f:
@@ -59,11 +59,15 @@ def save_checkpoint(
         _prune(save_dir, keep_last)
 
 
+def _remove(path: str):
+    if os.path.islink(path) or os.path.isfile(path):
+        os.remove(path)
+    elif os.path.isdir(path):
+        shutil.rmtree(path)
+
+
 def _mirror(src: str, dst: str):
-    if os.path.islink(dst) or os.path.isfile(dst):
-        os.remove(dst)
-    elif os.path.isdir(dst):
-        shutil.rmtree(dst)
+    _remove(dst)
     os.symlink(os.path.abspath(src), dst)
     meta = src + ".meta.json"
     if os.path.exists(meta):

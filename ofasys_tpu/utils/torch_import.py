@@ -20,10 +20,13 @@ checkpoint (tests/test_torch_import.py).
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def _path_str(path) -> str:
@@ -56,7 +59,9 @@ def flax_to_reference_key(path: str) -> Optional[Tuple[str, str]]:
         if sub == "image_rel_pos_table":
             return f"{ab}.image_rel_pos_table_list", "rel_stack"
         if sub == "type_embedding":
-            return f"{ab}.type_embedding.weight", "direct"
+            # torch nn.Embedding(1, E).weight is (1, E); ours is a bare (E,)
+            # row (reference adaptor/base.py:143)
+            return f"{ab}.type_embedding.weight", "row"
         if sub.endswith("/embedding"):
             name = sub[: -len("/embedding")]
             return f"{ab}.{name}.weight", "embed"
@@ -107,9 +112,33 @@ def _to_flax(value: np.ndarray, transform: str, target_shape) -> np.ndarray:
         v = v.T
     elif transform == "conv":
         v = v.transpose(2, 3, 1, 0)
+    elif transform == "row":
+        v = v.reshape(-1)
     if tuple(v.shape) != tuple(target_shape) and v.ndim == 4 and len(target_shape) == 4:
         v = v.transpose(2, 3, 1, 0)
+    if (
+        tuple(v.shape) != tuple(target_shape)
+        and v.ndim == len(target_shape) + 1
+        and v.shape[0] == 1
+        and tuple(v.shape[1:]) == tuple(target_shape)
+    ):
+        v = v[0]
     return v
+
+
+def _adapt_vocab_axis(v: np.ndarray, leaf: np.ndarray) -> Optional[np.ndarray]:
+    """Embedding-like params whose leading (vocab) axis differs only by
+    padding: fairseq pads the vocab to a multiple of 8, we pad to 128.
+    Copy the overlapping rows onto the target leaf (keeps our init for the
+    extra padding rows); None if the shapes differ in any other way."""
+    if v.ndim != np.asarray(leaf).ndim or v.ndim < 1:
+        return None
+    if tuple(v.shape[1:]) != tuple(np.asarray(leaf).shape[1:]):
+        return None
+    n = min(v.shape[0], leaf.shape[0])
+    out = np.array(np.asarray(leaf), copy=True)
+    out[:n] = v[:n]
+    return out
 
 
 def import_reference_state_dict(
@@ -143,10 +172,24 @@ def import_reference_state_dict(
             elif key in state_dict:
                 new = _to_flax(state_dict[key], transform, leaf.shape)
                 used.add(key)
+        if new is not None and tuple(new.shape) != tuple(leaf.shape):
+            adapted = _adapt_vocab_axis(new, leaf)
+            if adapted is not None:
+                logger.warning(
+                    "torch_import: vocab-axis repadded for %s: %s -> %s",
+                    p, new.shape, np.asarray(leaf).shape,
+                )
+                new = adapted
         if new is not None and tuple(new.shape) == tuple(leaf.shape):
             out_leaves.append(new.astype(np.asarray(leaf).dtype))
         else:
             if mapped is not None:
+                if new is not None:
+                    logger.warning(
+                        "torch_import: SKIPPED %s (shape %s vs target %s) — "
+                        "keeping random init",
+                        p, new.shape, np.asarray(leaf).shape,
+                    )
                 missing.append(p)
             out_leaves.append(leaf)
     unused = [k for k in state_dict if k not in used]
@@ -171,6 +214,8 @@ def export_reference_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]
             out[key] = v.T
         elif transform == "conv":
             out[key] = v.transpose(3, 2, 0, 1)
+        elif transform == "row":
+            out[key] = v[None]
         elif transform == "rel_stack":
             for i in range(v.shape[0]):
                 out[f"{key}.{i}.weight"] = v[i]

@@ -95,6 +95,51 @@ def test_min_len(trained):
         assert len(hyps[0].tokens) >= 5  # 4 tokens + eos
 
 
+def test_incremental_matches_full_decode(trained):
+    """decode_step with the precomputed cross-KV cache must produce the same
+    logits as the full (non-incremental) decoder forward."""
+    import dataclasses
+
+    from ofasys_tpu.model.ofa import EncoderOut
+
+    m, d, params, batch = trained
+    net = m.net
+    slots = batch["net_input"]["slots"]
+    src = [s for s in slots if s.is_src]
+    tgt = [s for s in slots if not s.is_src][0]
+    full_logits, _ = m.apply(params, slots)                     # (B, T, V)
+
+    enc = net.apply({"params": params}, src, method=net.encode)
+    T = tgt.value["inputs"].shape[1]
+    bias_spec, cross_bias, cache = net.apply(
+        {"params": params}, [tgt], enc, T, method=net.decode_prepare
+    )
+    assert "cross" in cache["layers_0"], "cross K/V must be precomputed"
+    step_logits = []
+    for t in range(T):
+        tok = jnp.asarray(tgt.value["inputs"][:, t : t + 1])
+        out, _, cache = net.apply(
+            {"params": params}, tok, jnp.int32(t), enc, bias_spec, cross_bias,
+            cache, tgt, method=net.decode_step,
+        )
+        step_logits.append(out[:, 0])
+    inc_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full_logits, np.float32), np.asarray(inc_logits, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_max_len_a_scales_with_source(trained):
+    m, d, params, batch = trained
+    src_len = batch["net_input"]["slots"][0].value["inputs"].shape[1]
+    gen = SequenceGenerator(m, d, beam_size=1, max_len_a=1.0, max_len_b=2, min_len=1)
+    out = gen.generate(params, _sample(batch))
+    limit = src_len + 2
+    for hyps in out:
+        assert len(hyps[0].tokens) <= limit + 1
+
+
 def test_ngram_blocking(trained):
     m, d, params, batch = trained
     gen = SequenceGenerator(m, d, beam_size=1, max_len_b=12, no_repeat_ngram_size=2)

@@ -54,6 +54,25 @@ def test_time_fn():
     assert dt > 0
 
 
+def test_save_checkpoint_over_symlink(tmp_path):
+    """Saving under a name that currently exists as the checkpoint_last
+    symlink (the final explicit save after interval saves) must not crash —
+    rmtree raises on symlinks."""
+    from ofasys_tpu.utils.checkpoint_utils import load_checkpoint, save_checkpoint
+
+    state = {"w": jnp.arange(4, dtype=jnp.float32)}
+    sd = str(tmp_path)
+    save_checkpoint(sd, "checkpoint_1_10", state, meta={"step": 10})
+    import os
+
+    assert os.path.islink(os.path.join(sd, "checkpoint_last"))
+    state2 = {"w": jnp.arange(4, dtype=jnp.float32) * 2}
+    save_checkpoint(sd, "checkpoint_last", state2, meta={"step": 11})
+    restored, meta = load_checkpoint(os.path.join(sd, "checkpoint_last"), target=state2)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state2["w"]))
+    assert meta["step"] == 11
+
+
 def test_torch_import_roundtrip():
     """Export our params with torch naming, re-import, require bit equality —
     validates every mapping rule without the real checkpoint."""
@@ -90,3 +109,21 @@ def test_torch_import_roundtrip():
     assert unused == [], unused[:5]
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # torch-shaped quirks vs real reference checkpoints: type_embedding is
+    # Embedding(1, E).weight = (1, E) (reference adaptor/base.py:143) and the
+    # token embedding vocab axis is padded to 8 by fairseq vs 128 here
+    te_key = "encoder.adaptor.text.type_embedding.weight"
+    emb_key = "encoder.adaptor.embed_tokens.weight"
+    assert sd[te_key].ndim == 2 and sd[te_key].shape[0] == 1
+    sd2 = dict(sd)
+    sd2[emb_key] = sd[emb_key][:-4]  # simulate smaller fairseq padding
+    restored2, missing2, _ = import_reference_state_dict(sd2, zeros)
+    assert not any("embed_tokens" in m or "type_embedding" in m for m in missing2)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(restored2)[0]
+    }
+    emb = flat["embed_tokens/embedding"]
+    orig = np.asarray(sd[emb_key])
+    np.testing.assert_array_equal(np.asarray(emb)[: orig.shape[0] - 4], orig[:-4])
