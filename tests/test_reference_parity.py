@@ -1,0 +1,185 @@
+"""Numerics parity against the executable reference (/root/reference).
+
+The north star demands bit-identical greedy decode vs the released
+multitask_10k.pt; that checkpoint is unreachable (zero egress), so instead we
+pin every parity-critical numeric decision against the reference's own torch
+modules run on CPU with random weights: build the reference GeneralistModel
+(text adaptor, canonical default_model.yaml settings), export its state_dict,
+import through utils/torch_import.py, and require logits to agree to fp32
+rounding (<1e-5) plus identical greedy decode tokens.
+
+This pins: gelu variant, LayerNorm eps/placement (pre-LN + attn_ln + ffn_ln),
+rel-pos bucket tables (incl. the log-bucket tail), abs-pos q/k bias,
+scale_heads c_attn, q-scaling (head_dim*2)^-0.5, embed layernorm, and the
+tied output projection (reference module/transformer_layer.py:18,212,
+multihead_attention.py:54, adaptor/text.py:20-31, adaptor/base.py:152-191).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "ofasys")),
+    reason="reference repo not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_setup():
+    """Reference model + inputs + state_dict + full-forward logits."""
+    from ofasys_tpu.utils.reference_compat import import_reference
+
+    import_reference()
+    import torch
+
+    torch.manual_seed(0)
+    from ofasys import ModalityType as RefMod
+    from ofasys.model.ofa import GeneralistModel as RefModel
+    from ofasys.model.ofa import GeneralistModelConfig as RefCfg
+    from ofasys.preprocessor.dictionary import Dictionary as RefDict
+    from ofasys.preprocessor.instruction import Slot as RefSlot
+
+    E, F, L, H = 128, 256, 2, 4
+    rcfg = RefCfg()
+    rcfg.arch = ""
+    rcfg.share_all_embeddings = True
+    # canonical released-model settings (reference config/default_model.yaml)
+    rcfg.no_scale_embedding = True
+    rcfg.layernorm_embedding = True
+    for side in ("encoder", "decoder"):
+        sub = getattr(rcfg, side)
+        sub.embed_dim, sub.ffn_embed_dim = E, F
+        sub.layers, sub.attention_heads = L, H
+        sub.normalize_before = True
+        sub.learned_pos = True
+        if hasattr(sub, "output_dim"):
+            sub.output_dim = E
+        if hasattr(sub, "input_dim"):
+            sub.input_dim = E
+    rcfg.dropout = rcfg.attention_dropout = rcfg.activation_dropout = 0.0
+    rcfg.activation_fn = "gelu"
+    rcfg.adaptor.text.is_active = True
+
+    rd = RefDict()
+    for i in range(100):
+        rd.add_symbol(f"<text>_{i}")
+    rd.pad_to_multiple_(8)
+    rm = RefModel(rcfg)
+    rm.initialize(rd)
+    rm.eval()
+
+    # Ts=160 crosses the log-bucket boundary of the rel-pos table (mid=128)
+    B, Ts, Tt = 2, 160, 6
+    rng = np.random.default_rng(0)
+    src_np = rng.integers(5, 100, size=(B, Ts)).astype(np.int64)
+    prev_np = rng.integers(5, 100, size=(B, Tt)).astype(np.int64)
+    prev_np[:, 0] = rd.bos()
+
+    def ref_forward(prev):
+        src_slot = RefSlot(RefMod.TEXT, True, torch.from_numpy(src_np), column_name="s")
+        tgt_slot = RefSlot(RefMod.TEXT, False, torch.from_numpy(prev), column_name="t")
+        with torch.no_grad():
+            out = rm([src_slot, tgt_slot])
+        return (out[0] if isinstance(out, tuple) else out).float().numpy()
+
+    sd = {k: v.numpy() for k, v in rm.state_dict().items()}
+    return {
+        "sd": sd,
+        "src": src_np,
+        "prev": prev_np,
+        "logits": ref_forward(prev_np),
+        "ref_forward": ref_forward,
+        "dims": (E, F, L, H),
+        "bos": rd.bos(),
+        "eos": rd.eos(),
+        "vocab": len(rd),
+    }
+
+
+@pytest.fixture(scope="module")
+def ours(ref_setup):
+    from ofasys_tpu import GeneralistModel, ModalityType
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.utils.pytree import SlotBatch
+    from ofasys_tpu.utils.torch_import import import_reference_state_dict
+
+    E, F, L, H = ref_setup["dims"]
+    d = Dictionary()
+    for i in range(100):
+        d.add_symbol(f"<text>_{i}")
+    d.pad_to_multiple_(8)
+    assert len(d) == ref_setup["vocab"]
+    assert d.bos() == ref_setup["bos"] and d.eos() == ref_setup["eos"]
+
+    m = GeneralistModel(arch="tiny")
+    cfg = m.cfg
+    cfg.encoder.embed_dim = cfg.decoder.embed_dim = E
+    cfg.encoder.ffn_embed_dim = cfg.decoder.ffn_embed_dim = F
+    cfg.encoder.layers = cfg.decoder.layers = L
+    cfg.encoder.attention_heads = cfg.decoder.attention_heads = H
+    cfg.dropout = cfg.attention_dropout = cfg.activation_dropout = 0.0
+    cfg.activation_fn = "gelu"
+    m.initialize(d, active_adaptors=("text",), dtype=jnp.float32)
+
+    def slot(arr, is_src, name):
+        return SlotBatch(
+            ModalityType.TEXT, is_src, {"inputs": jnp.asarray(arr.astype(np.int32))}, name
+        )
+
+    src = slot(ref_setup["src"], True, "s")
+    tgt = slot(ref_setup["prev"], False, "t")
+    params = m.init_params(jax.random.PRNGKey(0), [src, tgt])
+    params, missing, unused = import_reference_state_dict(ref_setup["sd"], params)
+    assert missing == [], missing
+    # shared/decoder-side duplicates + buffers are legitimately unused
+    real_unused = [
+        u for u in unused
+        if "version" not in u and "token_rp_bucket" not in u
+        and u != "decoder.adaptor.embed_tokens.weight"
+        and u != "decoder.adaptor.text.type_embedding.weight"
+        and "embed_positions" not in u
+    ]
+    assert real_unused == [], real_unused
+    return m, d, params, src, tgt
+
+
+def test_full_forward_logits_parity(ref_setup, ours):
+    m, d, params, src, tgt = ours
+    logits, _ = m.apply(params, [src, tgt])
+    logits = np.asarray(logits, np.float32)
+    np.testing.assert_allclose(logits, ref_setup["logits"], rtol=1e-5, atol=1e-5)
+    assert (logits.argmax(-1) == ref_setup["logits"].argmax(-1)).all()
+
+
+def test_greedy_decode_token_parity(ref_setup, ours):
+    """Our jitted incremental greedy decode must emit exactly the tokens the
+    reference's full-forward argmax chain emits."""
+    m, d, params, src, tgt = ours
+    B = ref_setup["src"].shape[0]
+    steps = 8
+
+    # reference greedy chain: grow prev_output_tokens, full forward each step
+    prev = np.full((B, 1), ref_setup["bos"], np.int64)
+    ref_toks = []
+    for _ in range(steps):
+        logits = ref_setup["ref_forward"](prev)
+        nxt = logits[:, -1].argmax(-1)
+        ref_toks.append(nxt)
+        prev = np.concatenate([prev, nxt[:, None].astype(np.int64)], axis=1)
+    ref_toks = np.stack(ref_toks, axis=1)  # (B, steps)
+
+    # ours: jitted while_loop beam_size=1 with the KV cache
+    from ofasys_tpu.generator import SequenceGenerator
+
+    gen = SequenceGenerator(m, d, beam_size=1, max_len_b=steps, min_len=steps)
+    out = gen.generate(params, {"net_input": {"slots": [src, tgt]}})
+    for b in range(B):
+        mine = out[b][0].tokens[:steps]
+        # min_len=steps forces exactly `steps` non-eos tokens before eos
+        np.testing.assert_array_equal(mine[: steps - 1], ref_toks[b][: steps - 1])
