@@ -108,6 +108,11 @@ class OptimizationConfig(BaseDataclass):
     adam_eps: float = 1e-8
     weight_decay: float = 0.01
     use_adamw: bool = True
+    # Multi-task scheduling: 'sum' = reference co-training semantics (one
+    # optimizer step per update, gradients summed across all task batches,
+    # ofasys/engine/trainer.py:766-880); 'round_robin' = one optimizer step
+    # per task batch.
+    multi_task_mode: str = "sum"
     # polynomial decay
     warmup_updates: int = 0
     warmup_ratio: float = 0.0

@@ -7,6 +7,15 @@ Gradient accumulation is a lax.scan over a leading microbatch axis
 (reference update_freq/GroupedIterator); gradients are summed raw and scaled
 once by the total sample size, making {1 big batch} == {k microbatches} ==
 {data-parallel shards} numerically identical.
+
+The step is factored into two pure halves so the Trainer can reproduce the
+reference's multi-task co-training semantics (ofasys/engine/trainer.py:766-880:
+accumulate gradients across ALL task batches, then ONE optimizer step):
+
+  make_grad_step   (params, step, batch, rng) -> (grads_raw, sample_size, logging)
+  make_apply_step  (state, grads_raw, sample_size) -> (state, metrics)
+
+``make_train_step`` composes the two for the single-task / round-robin path.
 """
 
 from __future__ import annotations
@@ -36,16 +45,35 @@ class TrainState(flax.struct.PyTreeNode):
         )
 
 
-def make_train_step(
-    model,
-    criterion,
-    optimizer: optax.GradientTransformation,
-    update_freq: int = 1,
-    ema_decay: float = 0.0,
-    lr_schedule=None,
-) -> Callable:
-    """Build the train step; jit it with donate_argnums=(0,) at the call site
-    (parallel/api.py shards it over the mesh)."""
+def _accumulate_grads(grad_fn, params, batch, rng, update_freq: int):
+    """Raw-summed grads over the (optional) leading microbatch axis."""
+    if update_freq == 1:
+        (_, (sample_size, logging)), grads = grad_fn(params, batch, rng)
+        return grads, sample_size, logging
+
+    # batch leaves have leading dim = update_freq
+    def body(carry, mb_with_idx):
+        grads_acc, ss_acc, log_acc = carry
+        i, mb = mb_with_idx
+        (_, (ss, logging)), g = grad_fn(params, mb, jax.random.fold_in(rng, i))
+        grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+        log_acc = jax.tree.map(jnp.add, log_acc, logging)
+        return (grads_acc, ss_acc + ss, log_acc), None
+
+    mb0 = jax.tree.map(lambda x: x[0], batch)
+    (_, (ss0, log0)), g0 = grad_fn(params, mb0, jax.random.fold_in(rng, 0))
+    rest = jax.tree.map(lambda x: x[1:], batch)
+    idxs = jnp.arange(1, update_freq)
+    (grads, sample_size, logging), _ = jax.lax.scan(body, (g0, ss0, log0), (idxs, rest))
+    return grads, sample_size, logging
+
+
+def make_grad_step(model, criterion, update_freq: int = 1, fold: int = 0) -> Callable:
+    """Pure gradient half: raw-summed grads + sample size + logging.
+
+    ``fold`` decorrelates dropout streams between tasks sharing one update
+    (set to the task index by the Trainer's summed multi-task mode).
+    """
 
     def loss_fn(params, sample, rng):
         loss_sum, sample_size, logging = criterion(model, params, sample, rng, train=True)
@@ -53,31 +81,25 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, batch, rng) -> tuple:
-        rng = jax.random.fold_in(rng, state.step)
+    def grad_step(params, step, batch, rng):
+        rng = jax.random.fold_in(rng, step)
+        if fold:
+            rng = jax.random.fold_in(rng, fold)
+        return _accumulate_grads(grad_fn, params, batch, rng, update_freq)
 
-        if update_freq == 1:
-            (_, (sample_size, logging)), grads = grad_fn(state.params, batch, rng)
-        else:
-            # batch leaves have leading dim = update_freq
-            def body(carry, mb_with_idx):
-                grads_acc, ss_acc, log_acc = carry
-                i, mb = mb_with_idx
-                (_, (ss, logging)), g = grad_fn(state.params, mb, jax.random.fold_in(rng, i))
-                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
-                log_acc = jax.tree.map(jnp.add, log_acc, logging)
-                return (grads_acc, ss_acc + ss, log_acc), None
+    return grad_step
 
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            mb0 = jax.tree.map(lambda x: x[0], batch)
-            (_, (ss0, log0)), g0 = grad_fn(state.params, mb0, jax.random.fold_in(rng, 0))
-            rest = jax.tree.map(lambda x: x[1:], batch)
-            idxs = jnp.arange(1, update_freq)
-            (grads, sample_size, logging), _ = jax.lax.scan(
-                body, (g0, ss0, log0), (idxs, rest)
-            )
 
-        # scale summed gradients by total sample size (multiply_grads parity)
+def make_apply_step(
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.0,
+    lr_schedule=None,
+) -> Callable:
+    """Optimizer half: scale raw grad sum by 1/sample_size (reference
+    multiply_grads parity, trainer.py:848-868), clip via the optax chain,
+    step, EMA."""
+
+    def apply_step(state: TrainState, grads, sample_size):
         scale = 1.0 / jnp.maximum(sample_size, 1.0)
         grads = jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads)
         gnorm = optax.global_norm(grads)
@@ -95,11 +117,33 @@ def make_train_step(
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt_state, ema_params=new_ema
         )
-        metrics = dict(logging)
-        metrics["gnorm"] = gnorm
+        metrics = {"gnorm": gnorm}
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
+
+    return apply_step
+
+
+def make_train_step(
+    model,
+    criterion,
+    optimizer: optax.GradientTransformation,
+    update_freq: int = 1,
+    ema_decay: float = 0.0,
+    lr_schedule=None,
+) -> Callable:
+    """Build the fused train step; jit it with donate_argnums=(0,) at the call
+    site (parallel/api.py shards it over the mesh)."""
+    grad_step = make_grad_step(model, criterion, update_freq=update_freq)
+    apply_step = make_apply_step(optimizer, ema_decay=ema_decay, lr_schedule=lr_schedule)
+
+    def train_step(state: TrainState, batch, rng) -> tuple:
+        grads, sample_size, logging = grad_step(state.params, state.step, batch, rng)
+        new_state, metrics = apply_step(state, grads, sample_size)
+        out = dict(logging)
+        out.update(metrics)
+        return new_state, out
 
     return train_step
 

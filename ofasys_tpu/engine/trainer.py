@@ -9,12 +9,15 @@ is pure jitted functions:
     tasks, one optimizer step per update across all task batches) ->
     validate_and_save -> orbax checkpoint with full resume state.
 
-Multi-task scheduling: one update round-robins the tasks, taking one
-optimizer step per task batch (each step is the task's own jitted program —
-different templates never share a trace). The reference instead sums
-gradients across all task batches before a single step
-(trainer.py:766-880); that variant is planned as a config switch once the
-multi-task benchmark exists to compare both.
+Multi-task scheduling (cfg.optimization.multi_task_mode):
+  'sum' (default, reference parity — ofasys/engine/trainer.py:766-880): per
+  update, every task contributes one batch through its own jitted grad
+  program; raw gradient sums are accumulated ON DEVICE (sharded like params,
+  one fused add dispatch per task) and a single jitted optimizer step fires.
+  'round_robin': one full optimizer step per task batch (k steps per update).
+Each task's step/grad program is its own trace — different templates never
+share one. Metrics are deferred: device scalars are queued and fetched only
+at log/checkpoint boundaries so the dispatch queue is never host-blocked.
 """
 
 from __future__ import annotations
@@ -50,15 +53,38 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.mesh = None
         self._step_fns: Dict[str, Callable] = {}
+        self._grad_fns: Dict[str, Callable] = {}
+        self._apply_fn: Optional[Callable] = None
+        self._acc_fn: Optional[Callable] = None
         self._valid_fns: Dict[str, Callable] = {}
+        self._sum_mode = False
+        self._pending: List[Any] = []  # deferred (task, device-metrics, ntokens)
+        # multi-host data sharding (set by distributed_init / launch)
+        self.dp_rank = 0
+        self.dp_procs = 1
 
     # ------------------------------------------------------------- fitting
     def fit(self, model, tasks, max_update: Optional[int] = None):
         """The reference Trainer.fit contract (engine/trainer.py:71)."""
+        start_update = self.setup(model, tasks, max_update)
+        t_start = time.time()
+        self.run_updates(start_update, self._total_updates)
+        self._flush_metrics()
+        if not self.cfg.checkpoint.no_save:
+            self.save_checkpoint("checkpoint_last", self._total_updates)
+        logger.info("fit done in %.1fs", time.time() - t_start)
+        return self.state
+
+    def setup(self, model, tasks, max_update: Optional[int] = None) -> int:
+        """Stages 1-5 of fit: vocab, model init, mesh, restore, jitted steps.
+        Returns the starting update (non-zero after a checkpoint restore).
+        Split out so benchmarks can warm up compilation and then time
+        run_updates() windows."""
         if not isinstance(tasks, (list, tuple)):
             tasks = [tasks]
         cfg = self.cfg
         total_updates = max_update or cfg.optimization.max_update or 1000
+        self._total_updates = total_updates
 
         # 1) vocab + task initialization (text preprocessors grow the dict)
         global_dict = Dictionary()
@@ -105,49 +131,102 @@ class Trainer:
         if restored is not None:
             start_update = restored
 
-        # 5) per-task sharded train steps
-        for task, batch in ((t, first_batch[t.name]) for t in tasks):
-            step_fn = make_train_step(
-                model, task.criterion, optimizer,
-                update_freq=task.cfg.dataset.update_freq,
-                ema_decay=cfg.ema.ema_decay if cfg.ema.store_ema else 0.0,
-                lr_schedule=lr_sched,
-            )
-            self._step_fns[task.name] = make_sharded_train_step(
-                step_fn, self.mesh, self.state, batch_device_view(batch),
-                update_freq=task.cfg.dataset.update_freq,
+        # 5) per-task sharded step programs. Summed multi-task mode splits
+        # each task's program into a grad half + a shared apply half.
+        self._sum_mode = (
+            cfg.optimization.multi_task_mode == "sum" and len(tasks) > 1
+        )
+        ema_decay = cfg.ema.ema_decay if cfg.ema.store_ema else 0.0
+        if self._sum_mode:
+            from ofasys_tpu.engine.train_step import make_apply_step, make_grad_step
+            from ofasys_tpu.parallel import (
+                make_sharded_accumulate,
+                make_sharded_apply_step,
+                make_sharded_grad_step,
             )
 
-        # 6) the update loop
+            for i, task in enumerate(tasks):
+                gfn = make_grad_step(
+                    model, task.criterion,
+                    update_freq=task.cfg.dataset.update_freq, fold=i,
+                )
+                self._grad_fns[task.name] = make_sharded_grad_step(
+                    gfn, self.mesh, self.state.params,
+                    batch_device_view(first_batch[task.name]),
+                    update_freq=task.cfg.dataset.update_freq,
+                )
+            self._apply_fn = make_sharded_apply_step(
+                make_apply_step(optimizer, ema_decay=ema_decay, lr_schedule=lr_sched),
+                self.mesh, self.state,
+            )
+            self._acc_fn = make_sharded_accumulate(self.mesh, self.state.params)
+        else:
+            for task, batch in ((t, first_batch[t.name]) for t in tasks):
+                step_fn = make_train_step(
+                    model, task.criterion, optimizer,
+                    update_freq=task.cfg.dataset.update_freq,
+                    ema_decay=ema_decay,
+                    lr_schedule=lr_sched,
+                )
+                self._step_fns[task.name] = make_sharded_train_step(
+                    step_fn, self.mesh, self.state, batch_device_view(batch),
+                    update_freq=task.cfg.dataset.update_freq,
+                )
+
+        # 6) loop state
         self.progress = build_progress_bar(
             cfg.common.log_format, tensorboard_logdir=cfg.common.tensorboard_logdir,
             wandb_project=cfg.common.wandb_project,
         )
-        rng = jax.random.PRNGKey(cfg.common.seed)
-        iterators = {t.name: iter(self._task_batches(t, dp_rank=0, dp_size=1)) for t in tasks}
-        self.meters.add_meter("ups", TimeMeter(round=2))
-        self.meters.add_meter("wps", TimeMeter(round=0))
-        t_start = time.time()
-        best_metric = None
-        for update in range(start_update, total_updates):
-            for task in tasks:
-                batch = next(iterators[task.name])
-                n_valid_tokens = int(batch.get("ntokens", 0))
-                db = put_batch(batch_device_view(batch), self.mesh,
-                               update_freq=task.cfg.dataset.update_freq)
-                self.state, metrics = self._step_fns[task.name](self.state, db, rng)
-                self._log_metrics(task.name, metrics, n_valid_tokens)
+        self._rng = jax.random.PRNGKey(cfg.common.seed)
+        self._iterators = {
+            t.name: iter(self._task_batches(t, dp_rank=self.dp_rank, dp_size=self.dp_procs))
+            for t in tasks
+        }
+        if "ups" not in self.meters:
+            self.meters.add_meter("ups", TimeMeter(round=2))
+            self.meters.add_meter("wps", TimeMeter(round=0))
+        return start_update
+
+    def run_updates(self, start_update: int, end_update: int):
+        cfg = self.cfg
+        for update in range(start_update, end_update):
+            self.train_one_update()
             self.meters["ups"].update(1)
             if cfg.common.log_interval and (update + 1) % cfg.common.log_interval == 0:
-                self._print_progress(update + 1, total_updates)
+                self._print_progress(update + 1, end_update)
             if cfg.checkpoint.save_interval_updates and \
                     (update + 1) % cfg.checkpoint.save_interval_updates == 0:
                 self.save_checkpoint(f"checkpoint_1_{update + 1}", update + 1)
-        # final save
-        if not cfg.checkpoint.no_save:
-            self.save_checkpoint("checkpoint_last", total_updates)
-        logger.info("fit done in %.1fs", time.time() - t_start)
-        return self.state
+
+    def train_one_update(self):
+        """One update: every task contributes one batch. No host sync —
+        metrics stay on device until a log/ckpt boundary."""
+        if self._sum_mode:
+            acc_g = acc_ss = None
+            for task in self.tasks:
+                batch = next(self._iterators[task.name])
+                ntokens = int(batch.get("ntokens", 0))
+                db = put_batch(batch_device_view(batch), self.mesh,
+                               update_freq=task.cfg.dataset.update_freq)
+                g, ss, logging = self._grad_fns[task.name](
+                    self.state.params, self.state.step, db, self._rng
+                )
+                self._log_metrics(task.name, logging, ntokens)
+                if acc_g is None:
+                    acc_g, acc_ss = g, ss
+                else:
+                    acc_g, acc_ss = self._acc_fn(acc_g, acc_ss, g, ss)
+            self.state, metrics = self._apply_fn(self.state, acc_g, acc_ss)
+            self._log_metrics(None, metrics, 0)
+        else:
+            for task in self.tasks:
+                batch = next(self._iterators[task.name])
+                ntokens = int(batch.get("ntokens", 0))
+                db = put_batch(batch_device_view(batch), self.mesh,
+                               update_freq=task.cfg.dataset.update_freq)
+                self.state, metrics = self._step_fns[task.name](self.state, db, self._rng)
+                self._log_metrics(task.name, metrics, ntokens)
 
     # -------------------------------------------------------------- pieces
     def _peek_batch(self, task):
@@ -167,26 +246,44 @@ class Trainer:
             for batch in it.next_epoch_itr():
                 yield batch
 
-    def _log_metrics(self, task_name: str, metrics: Dict[str, Any], ntokens: int):
-        ss = float(metrics.get("sample_size", 1.0)) or 1.0
-        nt = float(metrics.get("ntokens", 0.0)) or 1.0
-        for key, meter_key in (("loss", f"{task_name}:loss"), ("nll_loss", f"{task_name}:nll_loss")):
-            if key in metrics:
-                denom = ss if key == "loss" else nt
-                if meter_key not in self.meters:
-                    self.meters.add_meter(meter_key, AverageMeter(round=3))
-                self.meters[meter_key].update(float(metrics[key]) / denom)
-        if "gnorm" in metrics:
-            if "gnorm" not in self.meters:
-                self.meters.add_meter("gnorm", AverageMeter(round=3))
-            self.meters["gnorm"].update(float(metrics["gnorm"]))
-        if "lr" in metrics:
-            if "lr" not in self.meters:
-                self.meters.add_meter("lr", AverageMeter(round=6))
-            self.meters["lr"].update(float(metrics["lr"]))
-        self.meters["wps"].update(ntokens)
+    def _log_metrics(self, task_name: Optional[str], metrics: Dict[str, Any], ntokens: int):
+        """Queue device metric scalars; fetching happens at log boundaries so
+        the step dispatch queue is never blocked on a host transfer (the
+        reference's float() per step is a GPU-ism; on TPU it stalls pipelining)."""
+        self._pending.append((task_name, metrics, ntokens))
+        if len(self._pending) >= 512:
+            self._flush_metrics()
+
+    def _flush_metrics(self):
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get([m for _, m, _ in pending])
+        for (task_name, _, ntokens), metrics in zip(pending, fetched):
+            ss = float(metrics.get("sample_size", 1.0)) or 1.0
+            nt = float(metrics.get("ntokens", 0.0)) or 1.0
+            if task_name is not None:
+                for key, meter_key in (
+                    ("loss", f"{task_name}:loss"),
+                    ("nll_loss", f"{task_name}:nll_loss"),
+                ):
+                    if key in metrics:
+                        denom = ss if key == "loss" else nt
+                        if meter_key not in self.meters:
+                            self.meters.add_meter(meter_key, AverageMeter(round=3))
+                        self.meters[meter_key].update(float(metrics[key]) / denom)
+            if "gnorm" in metrics:
+                if "gnorm" not in self.meters:
+                    self.meters.add_meter("gnorm", AverageMeter(round=3))
+                self.meters["gnorm"].update(float(metrics["gnorm"]))
+            if "lr" in metrics:
+                if "lr" not in self.meters:
+                    self.meters.add_meter("lr", AverageMeter(round=6))
+                self.meters["lr"].update(float(metrics["lr"]))
+            self.meters["wps"].update(ntokens)
 
     def _print_progress(self, update: int, total: int):
+        self._flush_metrics()
         vals = self.meters.get_smoothed_values()
         if getattr(self, "progress", None) is not None:
             self.progress.log(vals, tag="train", step=update)

@@ -4,7 +4,7 @@ here they are pure logit transforms that fuse into the decode step)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,3 +95,115 @@ def top_k_top_p_filter(
 def length_penalty(lengths: jax.Array, alpha: float) -> jax.Array:
     """fairseq-style: score / len**alpha (sequence_generator finalize)."""
     return jnp.power(jnp.maximum(lengths, 1).astype(jnp.float32), alpha)
+
+
+# --------------------------------------------------------------------------
+# Trie-constrained decoding (reference: constraint trie masking per decode
+# step inside WrapperModel.forward_decoder,
+# ofasys/generator/sequence_generator.py:684-752 + ofasys/utils/trie.py:13).
+#
+# The python Trie is compiled ONCE into static device tables; the while_loop
+# carries one int32 state per beam. Memory-aware two-tier layout: states with
+# few children live in a padded (S, Km) children table (mask built by
+# scatter); rare high-fanout states (the root, typically) get dense (V,)
+# rows. This keeps the tables O(total trie tokens) instead of O(S * V).
+# --------------------------------------------------------------------------
+
+class CompiledTrie(NamedTuple):
+    tok: jax.Array            # (S+1, Km) int32 children tokens, -1 pad; row S = dead state
+    nxt: jax.Array            # (S+1, Km) int32 child state ids
+    dense_idx: jax.Array      # (S+1,) int32: row into dense tables, -1 if sparse
+    dense_allowed: jax.Array  # (D, V) bool
+    dense_next: jax.Array     # (D, V) int32
+    initial_state: jax.Array  # () int32: state after consuming BOS
+    num_states: int           # static (python int): S
+
+
+def compile_trie(trie, vocab_size: int, bos: int, dense_threshold: int = 64) -> CompiledTrie:
+    """Flatten a utils.trie.Trie (whose sequences are [bos] + answer + [eos])
+    into jit-ready tables."""
+    import numpy as np
+
+    # BFS over dict nodes -> state ids
+    nodes = [trie.root]
+    ids = {id(trie.root): 0}
+    i = 0
+    while i < len(nodes):
+        for t, child in nodes[i].items():
+            if id(child) not in ids:
+                ids[id(child)] = len(nodes)
+                nodes.append(child)
+        i += 1
+    S = len(nodes)
+    DEAD = S
+
+    children = [sorted((int(t), ids[id(c)]) for t, c in n.items()) for n in nodes]
+    sparse = [c for c in children if len(c) <= dense_threshold]
+    Km = max([len(c) for c in sparse], default=1) or 1
+
+    tok = np.full((S + 1, Km), -1, np.int32)
+    nxt = np.full((S + 1, Km), DEAD, np.int32)
+    dense_idx = np.full((S + 1,), -1, np.int32)
+    dense_rows_allowed = []
+    dense_rows_next = []
+    for s, ch in enumerate(children):
+        if len(ch) > dense_threshold:
+            allowed = np.zeros((vocab_size,), bool)
+            nxt_row = np.full((vocab_size,), DEAD, np.int32)
+            for t, c in ch:
+                allowed[t] = True
+                nxt_row[t] = c
+            dense_idx[s] = len(dense_rows_allowed)
+            dense_rows_allowed.append(allowed)
+            dense_rows_next.append(nxt_row)
+        else:
+            for j, (t, c) in enumerate(ch):
+                tok[s, j] = t
+                nxt[s, j] = c
+    if not dense_rows_allowed:  # keep gathers shape-valid
+        dense_rows_allowed.append(np.zeros((vocab_size,), bool))
+        dense_rows_next.append(np.full((vocab_size,), DEAD, np.int32))
+
+    # initial state: consume BOS from the root
+    init = DEAD
+    for t, c in children[0]:
+        if t == bos:
+            init = c
+            break
+
+    return CompiledTrie(
+        tok=jnp.asarray(tok),
+        nxt=jnp.asarray(nxt),
+        dense_idx=jnp.asarray(dense_idx),
+        dense_allowed=jnp.asarray(np.stack(dense_rows_allowed)),
+        dense_next=jnp.asarray(np.stack(dense_rows_next)),
+        initial_state=jnp.asarray(init, jnp.int32),
+        num_states=S,
+    )
+
+
+def trie_allowed_mask(ct: CompiledTrie, states: jax.Array, vocab_size: int) -> jax.Array:
+    """(N,) beam states -> (N, V) additive mask (0 allowed / NEG_INF banned)."""
+    N = states.shape[0]
+    t = ct.tok[states]                                   # (N, Km)
+    safe = jnp.where(t >= 0, t, vocab_size)              # -1 pads dropped by mode='drop'
+    mask = jnp.full((N, vocab_size), NEG_INF, jnp.float32)
+    mask = mask.at[jnp.arange(N)[:, None], safe].set(0.0, mode="drop")
+    di = ct.dense_idx[states]                            # (N,)
+    dmask = jnp.where(ct.dense_allowed[jnp.maximum(di, 0)], 0.0, NEG_INF)
+    return jnp.where((di >= 0)[:, None], dmask, mask)
+
+
+def trie_advance(ct: CompiledTrie, states: jax.Array, tokens: jax.Array) -> jax.Array:
+    """Transition each beam's state by its chosen token (off-trie -> dead)."""
+    t = ct.tok[states]                                   # (N, Km)
+    eq = t == tokens[:, None]
+    j = jnp.argmax(eq, axis=1)
+    hit = jnp.any(eq, axis=1)
+    sparse_next = jnp.where(hit, jnp.take_along_axis(ct.nxt[states], j[:, None], axis=1)[:, 0],
+                            jnp.int32(ct.num_states))
+    di = ct.dense_idx[states]
+    dense_next = jnp.take_along_axis(
+        ct.dense_next[jnp.maximum(di, 0)], tokens[:, None], axis=1
+    )[:, 0]
+    return jnp.where(di >= 0, dense_next, sparse_next)

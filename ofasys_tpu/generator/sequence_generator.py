@@ -83,6 +83,7 @@ class SequenceGenerator:
         sampling_topk: int = -1,
         sampling_topp: float = -1.0,
         return_n_best: int = 1,
+        constraint_trie=None,
     ):
         self.model = model
         self.dictionary = dictionary
@@ -104,6 +105,13 @@ class SequenceGenerator:
         if constraint_range:
             lo, hi = constraint_range.split(",")
             self.constraint_start, self.constraint_end = int(lo), int(hi)
+        # closed-set constraint trie -> compiled device tables (reference
+        # masks logits with the trie per step, sequence_generator.py:684-752)
+        self.trie = (
+            search.compile_trie(constraint_trie, len(dictionary), self.bos)
+            if constraint_trie is not None
+            else None
+        )
         self._compiled: Dict[Any, Any] = {}
 
     # ----------------------------------------------------------- public API
@@ -183,6 +191,12 @@ class SequenceGenerator:
         fin_seq = jnp.zeros_like(seq)
         fin_scores = jnp.full((B, K), NEG_INF)
         fin_flags = jnp.zeros((B, K), bool)
+        # one trie state per beam (dummy zeros when unconstrained)
+        tstates = (
+            jnp.broadcast_to(self.trie.initial_state, (N,)).astype(jnp.int32)
+            if self.trie is not None
+            else jnp.zeros((N,), jnp.int32)
+        )
 
         def step_logits(carry_seq, step, cache):
             tokens = jax.lax.dynamic_slice_in_dim(
@@ -195,14 +209,14 @@ class SequenceGenerator:
             return logits[:, -1].astype(jnp.float32), new_cache
 
         def cond(state):
-            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng = state
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates = state
             best_alive = jnp.max(alive_lp, axis=1) / search.length_penalty(jnp.asarray(max_len), self.lenpen)
             worst_fin = jnp.min(jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
             improvable = jnp.any(~fin_flags.all(axis=1) | (best_alive > worst_fin))
             return (step <= max_len) & improvable
 
         def body(state):
-            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng = state
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates = state
             lp, cache = step_logits(seq, step, cache)           # (N, V)
             if self.temperature != 1.0:
                 lp = lp / self.temperature
@@ -210,6 +224,8 @@ class SequenceGenerator:
             V = lp.shape[-1]
 
             lp = search.apply_min_len(lp, step, self.min_len, self.eos)
+            if self.trie is not None:
+                lp = lp + search.trie_allowed_mask(self.trie, tstates, V)
             if self.constraint_start is not None:
                 lp = search.apply_constraint_range(lp, self.constraint_start, self.constraint_end, self.eos)
             if self.ngram > 0:
@@ -273,9 +289,15 @@ class SequenceGenerator:
             seq = jnp.take_along_axis(cand_seq, alive_idx[:, :, None], axis=1)
             chosen_beam = jnp.take_along_axis(cand_beam, alive_idx, axis=1)    # (B, K)
             cache = _gather_beams(cache, chosen_beam, B, K)
-            return (step + 1, seq, new_alive_lp, fin_seq, fin_scores, fin_flags, cache, rng)
+            if self.trie is not None:
+                prev = jnp.take_along_axis(tstates.reshape(B, K), chosen_beam, axis=1)
+                alive_tok = jnp.take_along_axis(cand_tok, alive_idx, axis=1)
+                tstates = search.trie_advance(
+                    self.trie, prev.reshape(N), alive_tok.reshape(N)
+                )
+            return (step + 1, seq, new_alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates)
 
-        state = (jnp.int32(0), seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng)
+        state = (jnp.int32(0), seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates)
         state = jax.lax.while_loop(cond, body, state)
-        _, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng = state
+        _, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates = state
         return fin_seq, fin_scores

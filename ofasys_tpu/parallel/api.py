@@ -54,6 +54,77 @@ def make_sharded_train_step(
     )
 
 
+def _batch_shardings(batch_example: Any, mesh: Mesh, update_freq: int = 1):
+    b_sh = batch_sharding(mesh, extra_leading_dims=1 if update_freq > 1 else 0)
+
+    def leaf(x):
+        if getattr(x, "ndim", 0) == 0:
+            return NamedSharding(mesh, P())
+        return b_sh
+
+    return jax.tree.map(leaf, batch_example)
+
+
+def make_sharded_grad_step(
+    grad_step: Callable,
+    mesh: Mesh,
+    params_example: Any,
+    batch_example: Any,
+    update_freq: int = 1,
+    rules=None,
+):
+    """jit `grad_step(params, step, batch, rng) -> (grads, sample_size, logging)`
+    — the gradient half of the reference's summed multi-task update
+    (ofasys/engine/trainer.py:766-880). Grads come out sharded exactly like
+    params so accumulation and the optimizer step never re-lay-out."""
+    p_sh = tree_shardings(params_example, mesh, rules)
+    batch_sh = _batch_shardings(batch_example, mesh, update_freq)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        grad_step,
+        in_shardings=(p_sh, repl, batch_sh, repl),
+        out_shardings=(p_sh, repl, repl),
+    )
+
+
+def make_sharded_apply_step(
+    apply_step: Callable,
+    mesh: Mesh,
+    state_example: Any,
+    rules=None,
+    donate: bool = True,
+):
+    """jit `apply_step(state, grads, sample_size) -> (state, metrics)`."""
+    state_sh = tree_shardings(state_example, mesh, rules)
+    p_sh = tree_shardings(state_example.params, mesh, rules)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        apply_step,
+        in_shardings=(state_sh, p_sh, repl),
+        out_shardings=(state_sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_accumulate(mesh: Mesh, params_example: Any, rules=None):
+    """One-dispatch grad accumulator: (acc_g, acc_ss, g, ss) -> (acc_g, acc_ss).
+    Donates the accumulator so cross-task accumulation is in-place on device."""
+    p_sh = tree_shardings(params_example, mesh, rules)
+    repl = NamedSharding(mesh, P())
+
+    def add(acc_g, acc_ss, g, ss):
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.add, acc_g, g), acc_ss + ss
+
+    return jax.jit(
+        add,
+        in_shardings=(p_sh, repl, p_sh, repl),
+        out_shardings=(p_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
 def put_batch(batch: Any, mesh: Mesh, update_freq: int = 1):
     """Host numpy batch -> device, sharded over the data axes."""
     b_sh = batch_sharding(mesh, extra_leading_dims=1 if update_freq > 1 else 0)

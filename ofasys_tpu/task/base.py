@@ -124,6 +124,11 @@ class Task:
         """Activate preprocessors derived from the templates and build the
         criterion/metrics (reference task/base.py:218-247)."""
         self.general_preprocess = GeneralPreprocess(global_dict, active=self.required_preprocessors())
+        # ensure criterion/metric registries are populated even when the
+        # Trainer (whose import registers them) was never imported
+        import ofasys_tpu.engine.criterion  # noqa: F401
+        import ofasys_tpu.metric  # noqa: F401
+
         store = ConfigStore()
         crit_node = store.get("ofasys.criterion", self.cfg.criterion)
         self.criterion = crit_node.target_cls(crit_node.config, pad_id=global_dict.pad())
@@ -226,8 +231,32 @@ class Task:
             return_n_best=g.return_n_best,
         )
         kwargs.update(overrides)
+        # Closed-set target + a built trie -> constrain the beam loop to
+        # valid candidate paths (reference prepare_for_generation routes the
+        # text preprocessor's constraint_trie into the generator,
+        # hub_interface.py:291-332, sequence_generator.py:684-752).
+        if "constraint_trie" not in kwargs:
+            trie = self._closed_set_trie()
+            if trie is not None:
+                kwargs["constraint_trie"] = trie
         self._generator = SequenceGenerator(model, self.global_dict, **kwargs)
         return self._generator
+
+    def _closed_set_trie(self):
+        """The text preprocessor's constraint trie, when any template's
+        target slot is closed_set."""
+        gp = getattr(self, "general_preprocess", None)
+        if gp is None:
+            return None
+        text_pre = gp.name2pre.get("text")
+        if text_pre is None or getattr(text_pre, "constraint_trie", None) is None:
+            return None
+        for t in self.templates:
+            slots = Instruction(t).slots
+            tgt = [s for s in slots if not s.is_src]
+            if tgt and tgt[-1].has_attr("closed_set"):
+                return text_pre.constraint_trie
+        return None
 
     def inference(self, model, params, sample, **gen_overrides):
         """Generate + postprocess (reference task/base.py:727)."""
