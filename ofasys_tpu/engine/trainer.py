@@ -115,8 +115,10 @@ class Trainer:
 
         # 4) init or restore params
         first_batch = {t.name: self._peek_batch(t) for t in tasks}
+        # trace EVERY task's slot plan at init so all adaptor params exist
         params = model.init_params(
-            jax.random.PRNGKey(cfg.common.seed), first_batch[tasks[0].name]["net_input"]["slots"]
+            jax.random.PRNGKey(cfg.common.seed),
+            [first_batch[t.name]["net_input"]["slots"] for t in tasks],
         )
         state = TrainState.create(params, optimizer, ema=cfg.ema.store_ema)
         state = shard_tree(state, self.mesh)

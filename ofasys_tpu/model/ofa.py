@@ -259,14 +259,30 @@ class GeneralistModel:
         )
         return self
 
-    def init_params(self, rng, sample_slots: List[SlotBatch]):
+    def init_params(self, rng, sample_slots):
+        """``sample_slots`` is one slot list, or a list of slot lists (one per
+        task) — flax only materializes params for modules actually called, so
+        heterogeneous multi-task fits must trace every task's slot plan once
+        or later tasks' adaptor params would be missing."""
         assert self.net is not None, "call initialize(global_dict) first"
+        slot_lists = (
+            list(sample_slots)
+            if sample_slots and isinstance(sample_slots[0], (list, tuple))
+            else [sample_slots]
+        )
+
+        def init_all(net, lists):
+            out = None
+            for slots in lists:
+                out = net(list(slots), deterministic=True)
+            return out
+
         # jit the whole init: one compiled program instead of one dispatch per
         # parameter (matters on remote/tunneled devices)
         init = jax.jit(
-            lambda r, slots: self.net.init({"params": r}, slots, deterministic=True)["params"]
+            lambda r, lists: self.net.init({"params": r}, lists, method=init_all)["params"]
         )
-        return init(rng, sample_slots)
+        return init(rng, slot_lists)
 
     def apply(self, params, slots: List[SlotBatch], deterministic: bool = True, rngs=None,
               full_context: bool = False):
