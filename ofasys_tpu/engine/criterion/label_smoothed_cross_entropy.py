@@ -78,6 +78,29 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
         loss_pos, nll_pos = label_smoothed_nll_loss(
             lprobs, tgt, cfg.label_smoothing, valid, cmask
         )
+
+        # drop-worst: after drop_worst_after updates, keep only the
+        # (1 - drop_worst_ratio) fraction of valid positions with the
+        # smallest loss (reference label_smoothed_cross_entropy.py:80-84).
+        # Rank-based so shapes stay static under jit.
+        if train and cfg.drop_worst_ratio > 0.0:
+            update_num = sample.get("update_num")
+            gate = (
+                update_num > cfg.drop_worst_after
+                if update_num is not None
+                else jnp.bool_(cfg.drop_worst_after <= 0)
+            )
+            ranked = jnp.where(valid, loss_pos, jnp.inf)
+            order = jnp.argsort(ranked)
+            rank = jnp.zeros_like(tgt).at[order].set(jnp.arange(tgt.shape[0]))
+            n_keep = jnp.floor(
+                valid.sum().astype(jnp.float32) * (1.0 - cfg.drop_worst_ratio)
+            ).astype(jnp.int32)
+            keep = jnp.where(gate, valid & (rank < n_keep), valid)
+            loss_pos = jnp.where(keep, loss_pos, 0.0)
+            nll_pos = jnp.where(keep, nll_pos, 0.0)
+            valid = keep
+
         ntokens = valid.sum()
         loss = loss_pos.sum()
         nll_loss = nll_pos.sum()

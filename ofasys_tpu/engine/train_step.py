@@ -75,16 +75,19 @@ def make_grad_step(model, criterion, update_freq: int = 1, fold: int = 0) -> Cal
     (set to the task index by the Trainer's summed multi-task mode).
     """
 
-    def loss_fn(params, sample, rng):
-        loss_sum, sample_size, logging = criterion(model, params, sample, rng, train=True)
-        return loss_sum, (sample_size, logging)
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
     def grad_step(params, step, batch, rng):
         rng = jax.random.fold_in(rng, step)
         if fold:
             rng = jax.random.fold_in(rng, fold)
+
+        def loss_fn(params, sample, rng):
+            # update_num rides in the sample so criteria that gate on the
+            # update count (drop_worst_after) can see it without a wider API
+            sample = {**sample, "update_num": step}
+            loss_sum, sample_size, logging = criterion(model, params, sample, rng, train=True)
+            return loss_sum, (sample_size, logging)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         return _accumulate_grads(grad_fn, params, batch, rng, update_freq)
 
     return grad_step

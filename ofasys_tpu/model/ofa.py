@@ -185,7 +185,11 @@ class GeneralistNet(nn.Module):
 
         cache = {}
         for i in range(cfg.decoder.layers):
-            lp = dec_params[f"layers_{i}"]["encoder_attn"]
+            if cfg.scan_layers:
+                stacked = dec_params["layers_scan"]["layer"]["encoder_attn"]
+                lp = jax.tree.map(lambda a: a[i], stacked)
+            else:
+                lp = dec_params[f"layers_{i}"]["encoder_attn"]
             cache[f"layers_{i}"] = {
                 "self": MultiheadAttention.init_cache(B, max_len, H, head_dim, self.dtype),
                 "cross": {"k": _proj(lp, "k_proj"), "v": _proj(lp, "v_proj")},

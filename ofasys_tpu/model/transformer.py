@@ -201,18 +201,26 @@ class MultiheadAttention(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Stochastic depth on the residual branch (reference module/droppath.py)."""
+    """Stochastic depth on the residual branch (reference module/droppath.py).
+    ``rate`` may also be passed at call time as a traced scalar — required by
+    the scan-over-layers path where per-layer rates ride through lax.scan."""
 
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
-            return x
-        keep = 1.0 - self.rate
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        if rate is None:
+            if self.rate == 0.0 or deterministic:
+                return x
+            keep = 1.0 - self.rate
+        else:
+            if deterministic:
+                return x
+            keep = 1.0 - rate
         rng = self.make_rng("dropout")
         mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-        return jnp.where(mask, x / keep, 0.0)
+        keep = jnp.asarray(keep, x.dtype)  # no bf16 -> fp32 promotion in scan carry
+        return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
 
 
 class FeedForward(nn.Module):
@@ -273,6 +281,7 @@ class TransformerEncoderLayer(nn.Module):
         bias: Optional[jax.Array] = None,
         deterministic: bool = True,
         modal_spans=None,
+        drop_path_rate=None,  # traced per-layer rate (scan-over-layers path)
     ):
         # args are positional (no *) so nn.remat can mark deterministic and
         # modal_spans static (jax.checkpoint rejects kwargs)
@@ -280,6 +289,7 @@ class TransformerEncoderLayer(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
         dropout = nn.Dropout(cfg.dropout)
         drop_path = DropPath(self.drop_path_rate)
+        dpr = drop_path_rate
 
         residual = x
         h = ln("self_attn_layer_norm")(x) if cfg.encoder.normalize_before else x
@@ -292,7 +302,7 @@ class TransformerEncoderLayer(nn.Module):
         if cfg.scale_attn:
             h = ln("attn_ln")(h)
         h = dropout(h, deterministic=deterministic)
-        x = residual + drop_path(h, deterministic=deterministic)
+        x = residual + drop_path(h, deterministic=deterministic, rate=dpr)
         if not cfg.encoder.normalize_before:
             x = ln("self_attn_layer_norm")(x)
 
@@ -304,7 +314,7 @@ class TransformerEncoderLayer(nn.Module):
         if cfg.scale_resids:
             w_resid = self.param("w_resid", nn.initializers.ones, (cfg.encoder.embed_dim,), jnp.float32)
             residual = residual * w_resid.astype(self.dtype)
-        x = residual + drop_path(h, deterministic=deterministic)
+        x = residual + drop_path(h, deterministic=deterministic, rate=dpr)
         if not cfg.encoder.normalize_before:
             x = ln("final_layer_norm")(x)
         return x
@@ -323,7 +333,6 @@ class TransformerDecoderLayer(nn.Module):
         self,
         x: jax.Array,
         encoder_out: Optional[jax.Array] = None,
-        *,
         self_mask: Optional[jax.Array] = None,
         self_bias: Optional[jax.Array] = None,
         cross_mask: Optional[jax.Array] = None,
@@ -332,11 +341,15 @@ class TransformerDecoderLayer(nn.Module):
         cache: Optional[Dict[str, Any]] = None,
         modal_spans=None,
         full_context: bool = False,
+        drop_path_rate=None,  # traced per-layer rate (scan-over-layers path)
     ):
+        # positional (no *) so nn.remat can mark deterministic/modal_spans/
+        # full_context static (jax.checkpoint rejects kwargs)
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
         dropout = nn.Dropout(cfg.dropout)
         drop_path = DropPath(self.drop_path_rate)
+        dpr = drop_path_rate
         new_cache: Dict[str, Any] = {}
 
         residual = x
@@ -353,7 +366,7 @@ class TransformerDecoderLayer(nn.Module):
         if cfg.scale_attn:
             h = ln("self_attn_ln")(h)
         h = dropout(h, deterministic=deterministic)
-        x = residual + drop_path(h, deterministic=deterministic)
+        x = residual + drop_path(h, deterministic=deterministic, rate=dpr)
         if not cfg.decoder.normalize_before:
             x = ln("self_attn_layer_norm")(x)
 
@@ -372,7 +385,7 @@ class TransformerDecoderLayer(nn.Module):
             if cfg.scale_attn:
                 h = ln("cross_attn_ln")(h)
             h = dropout(h, deterministic=deterministic)
-            x = residual + drop_path(h, deterministic=deterministic)
+            x = residual + drop_path(h, deterministic=deterministic, rate=dpr)
             if not cfg.decoder.normalize_before:
                 x = ln("encoder_attn_layer_norm")(x)
 
@@ -384,10 +397,71 @@ class TransformerDecoderLayer(nn.Module):
         if cfg.scale_resids:
             w_resid = self.param("w_resid", nn.initializers.ones, (cfg.decoder.embed_dim,), jnp.float32)
             residual = residual * w_resid.astype(self.dtype)
-        x = residual + drop_path(h, deterministic=deterministic)
+        x = residual + drop_path(h, deterministic=deterministic, rate=dpr)
         if not cfg.decoder.normalize_before:
             x = ln("final_layer_norm")(x)
         return x, (new_cache if cache is not None else None)
+
+
+
+def _traced_layer_bias(tables, bucket, abs_bias, i):
+    """BiasSpec.layer_bias with a TRACED layer index (scan-over-layers path):
+    gather one layer's relative-position bias inside the scan body instead of
+    pre-stacking (L, H, T, T) biases."""
+    out = None
+    if tables is not None and bucket is not None:
+        n_tables = tables.shape[0]
+        rel = tables[jnp.minimum(i, n_tables - 1)][bucket]   # (Tq, Tk, H)
+        out = jnp.transpose(rel, (2, 0, 1))[None]            # (1, H, Tq, Tk)
+    if abs_bias is not None:
+        out = abs_bias if out is None else out + abs_bias
+    return out
+
+
+class _EncoderScanBody(nn.Module):
+    """One encoder layer as a lax.scan body: carry = activations; per-layer
+    inputs = (layer index, drop-path rate). Params stack along a leading
+    layer axis (variable_axes={'params': 0})."""
+
+    cfg: GeneralistModelConfig
+    deterministic: bool
+    modal_spans: Any
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, xs, attn_mask, tables, bucket, abs_bias):
+        i, dpr = xs
+        bias = _traced_layer_bias(tables, bucket, abs_bias, i)
+        layer_cls = TransformerEncoderLayer
+        if self.cfg.remat == "full":
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))
+        layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, name="layer")
+        x = layer(x, attn_mask, bias, self.deterministic, self.modal_spans, dpr)
+        return x, None
+
+
+class _DecoderScanBody(nn.Module):
+    """One decoder layer as a lax.scan body (training path only; incremental
+    decode keeps the python loop + explicit per-layer cache)."""
+
+    cfg: GeneralistModelConfig
+    deterministic: bool
+    modal_spans: Any
+    full_context: bool
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, xs, encoder_out, self_mask, cross_mask, cross_bias,
+                 tables, bucket, abs_bias):
+        i, dpr = xs
+        self_bias = _traced_layer_bias(tables, bucket, abs_bias, i)
+        layer_cls = TransformerDecoderLayer
+        if self.cfg.remat == "full":
+            layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(7, 9, 10))
+        layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, name="layer")
+        x, _ = layer(x, encoder_out, self_mask, self_bias, cross_mask, cross_bias,
+                     self.deterministic, None, self.modal_spans, self.full_context, dpr)
+        return x, None
 
 
 class TransformerEncoder(nn.Module):
@@ -410,14 +484,29 @@ class TransformerEncoder(nn.Module):
         attn_mask = padding_mask[:, None, None, :]  # keys masked; queries padded rows are garbage-but-masked downstream
         n_layers = cfg.encoder.layers
         dpr = np.linspace(0.0, cfg.encode_drop_path_rate, n_layers)
-        layer_cls = TransformerEncoderLayer
-        if cfg.remat == "full":
-            # deterministic (3) and modal_spans (4) are static python values
-            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3, 4))
-        for i in range(n_layers):
-            layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
-            bias = bias_spec.layer_bias(i) if bias_spec is not None else None
-            x = layer(x, attn_mask, bias, deterministic, modal_spans)
+        if cfg.scan_layers:
+            tables = bias_spec.tables if bias_spec is not None else None
+            bucket = (jnp.asarray(bias_spec.bucket)
+                      if bias_spec is not None and bias_spec.bucket is not None else None)
+            abs_bias = bias_spec.abs_bias if bias_spec is not None else None
+            scan = nn.scan(
+                _EncoderScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=n_layers,
+            )(cfg, deterministic, modal_spans, dtype=self.dtype, name="layers_scan")
+            xs = (jnp.arange(n_layers), jnp.asarray(dpr, jnp.float32))
+            x, _ = scan(x, xs, attn_mask, tables, bucket, abs_bias)
+        else:
+            layer_cls = TransformerEncoderLayer
+            if cfg.remat == "full":
+                # deterministic (3) and modal_spans (4) are static python values
+                layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))
+            for i in range(n_layers):
+                layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
+                bias = bias_spec.layer_bias(i) if bias_spec is not None else None
+                x = layer(x, attn_mask, bias, deterministic, modal_spans)
         if cfg.encoder.normalize_before:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x)
         return x
@@ -467,30 +556,73 @@ class TransformerDecoder(nn.Module):
         n_layers = cfg.decoder.layers
         dpr = np.linspace(0.0, cfg.decode_drop_path_rate, n_layers)
         new_cache: Dict[str, Any] = {} if cache is not None else None
-        for i in range(n_layers):
-            if self_bias_spec is not None:
-                if cache is None:
-                    self_bias = self_bias_spec.layer_bias(i)
-                else:
-                    # O(Tk) row gather instead of materializing (H, T, T)
-                    self_bias = self_bias_spec.layer_bias_rows(i, cache_index, Tt)
-            else:
-                self_bias = None
-            cb = cross_bias
-            if cb is not None and cache is not None:
-                cb = jax.lax.dynamic_slice_in_dim(cb, cache_index, Tt, axis=2)
-            layer = TransformerDecoderLayer(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
-            x, layer_cache = layer(
-                x, encoder_out,
-                self_mask=self_mask, self_bias=self_bias,
-                cross_mask=cross_mask, cross_bias=cb,
-                deterministic=deterministic,
-                cache=None if cache is None else cache[f"layers_{i}"],
-                modal_spans=modal_spans,
-                full_context=full_context,
-            )
-            if cache is not None:
+        if cfg.scan_layers and cache is None:
+            spec = self_bias_spec
+            tables = spec.tables if spec is not None else None
+            bucket = (jnp.asarray(spec.bucket)
+                      if spec is not None and spec.bucket is not None else None)
+            abs_bias = spec.abs_bias if spec is not None else None
+            scan = nn.scan(
+                _DecoderScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0,) + (nn.broadcast,) * 7,
+                length=n_layers,
+            )(cfg, deterministic, modal_spans, full_context, dtype=self.dtype,
+              name="layers_scan")
+            xs = (jnp.arange(n_layers), jnp.asarray(dpr, jnp.float32))
+            x, _ = scan(x, xs, encoder_out, self_mask, cross_mask, cross_bias,
+                        tables, bucket, abs_bias)
+        elif cfg.scan_layers:
+            # incremental decode with scan-trained (stacked) params: unroll
+            # the per-step layer loop (as the loop path does) but slice each
+            # layer's params out of the stacked tree and apply the layer as a
+            # pure function — keeps one cache dict per layer so beam reorder
+            # gathers stay (B*K, ...)-shaped
+            stacked = self.variables["params"]["layers_scan"]["layer"]
+            layer_mod = TransformerDecoderLayer(cfg, 0.0, dtype=self.dtype)
+            for i in range(n_layers):
+                lp = jax.tree.map(lambda a: a[i], stacked)
+                self_bias = (
+                    self_bias_spec.layer_bias_rows(i, cache_index, Tt)
+                    if self_bias_spec is not None else None
+                )
+                cb = cross_bias
+                if cb is not None:
+                    cb = jax.lax.dynamic_slice_in_dim(cb, cache_index, Tt, axis=2)
+                x, layer_cache = layer_mod.apply(
+                    {"params": lp},
+                    x, encoder_out, self_mask, self_bias, cross_mask, cb,
+                    True, cache[f"layers_{i}"], modal_spans, full_context,
+                )
                 new_cache[f"layers_{i}"] = layer_cache
+        else:
+            layer_cls = TransformerDecoderLayer
+            if cfg.remat == "full" and cache is None:
+                # self counts as arg 0: deterministic (7), modal_spans (9),
+                # full_context (10) are static
+                layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(7, 9, 10))
+            for i in range(n_layers):
+                if self_bias_spec is not None:
+                    if cache is None:
+                        self_bias = self_bias_spec.layer_bias(i)
+                    else:
+                        # O(Tk) row gather instead of materializing (H, T, T)
+                        self_bias = self_bias_spec.layer_bias_rows(i, cache_index, Tt)
+                else:
+                    self_bias = None
+                cb = cross_bias
+                if cb is not None and cache is not None:
+                    cb = jax.lax.dynamic_slice_in_dim(cb, cache_index, Tt, axis=2)
+                layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
+                x, layer_cache = layer(
+                    x, encoder_out, self_mask, self_bias, cross_mask, cb,
+                    deterministic,
+                    None if cache is None else cache[f"layers_{i}"],
+                    modal_spans, full_context,
+                )
+                if cache is not None:
+                    new_cache[f"layers_{i}"] = layer_cache
         if cfg.decoder.normalize_before:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x)
         return x, new_cache

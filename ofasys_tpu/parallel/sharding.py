@@ -88,7 +88,15 @@ def tree_shardings(tree: Any, mesh: Mesh, rules=None, log_unmatched: bool = Fals
 
     def leaf_sharding(path, leaf):
         ndim = getattr(leaf, "ndim", 0)
-        spec = _fit_spec(spec_for_path(_path_str(path), rules), ndim)
+        p = _path_str(path)
+        spec = spec_for_path(p, rules)
+        if "layers_scan" in p and ndim > 0:
+            # scan-over-layers stacks params with a leading layer axis:
+            # keep it unsharded, shift the rule's axes right by one
+            spec = P(None, *spec)
+            if len(list(spec)) > ndim:
+                spec = P(*list(spec)[:ndim])
+        spec = _fit_spec(spec, ndim)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)

@@ -143,3 +143,39 @@ def test_incremental_decode_matches_full_forward():
     np.testing.assert_allclose(
         np.asarray(full_logits, np.float32), np.asarray(inc, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_drop_worst_drops_highest_loss_positions():
+    """drop_worst_ratio keeps the (1-ratio) fraction of valid positions with
+    the smallest loss after drop_worst_after updates (reference
+    label_smoothed_cross_entropy.py:80-84)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofasys_tpu.engine.criterion.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+        LabelSmoothedCrossEntropyCriterionConfig,
+    )
+
+    pad = 1
+    cfg = LabelSmoothedCrossEntropyCriterionConfig(
+        label_smoothing=0.0, drop_worst_ratio=0.5, drop_worst_after=2
+    )
+    crit = LabelSmoothedCrossEntropyCriterion(cfg, pad_id=pad)
+    B, T, V = 1, 8, 16
+    target = jnp.asarray(np.full((B, T), 5, np.int32))
+    # logits: first 4 positions confident-correct (low loss), last 4 wrong
+    logits = np.zeros((B, T, V), np.float32)
+    logits[:, :4, 5] = 10.0
+    logits[:, 4:, 9] = 10.0
+    sample_on = {"target": target, "update_num": jnp.int32(5)}
+    loss_on, ss_on, log_on = crit.compute_loss(jnp.asarray(logits), sample_on, train=True)
+    sample_off = {"target": target, "update_num": jnp.int32(1)}
+    loss_off, ss_off, _ = crit.compute_loss(jnp.asarray(logits), sample_off, train=True)
+    # gated on: only the 4 confident positions remain -> tiny loss, ntokens=4
+    assert float(ss_on) == 4.0 and float(ss_off) == 8.0
+    assert float(loss_on) < 0.1 < float(loss_off)
+    # eval path ignores drop_worst
+    _, ss_eval, _ = crit.compute_loss(jnp.asarray(logits), {"target": target}, train=False)
+    assert float(ss_eval) == 8.0
