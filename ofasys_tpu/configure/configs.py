@@ -172,6 +172,11 @@ class GenerationConfig(BaseDataclass):
     constraint_range: Optional[str] = None
     lenpen: float = 1.0
     unkpen: float = 0.0
+    # search strategy family (reference utils/search.py:204-787)
+    search_strategy: str = "beam"    # beam | diverse_beam | diverse_siblings | lexical
+    num_groups: int = 2              # diverse_beam groups
+    diversity_strength: float = 0.5  # diverse_beam Hamming penalty
+    diversity_rate: float = 0.5      # diverse_siblings rank penalty
 
 
 @dataclass

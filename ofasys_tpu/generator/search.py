@@ -98,6 +98,181 @@ def length_penalty(lengths: jax.Array, alpha: float) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
+# Candidate-selection strategies (reference ofasys/utils/search.py:19-787).
+# Each returns (scores, tokens, beams) of shape (B, M) — the candidate pool
+# the beam loop merges into finished/alive sets. The vanilla pool is the
+# global top-2K of alive_lp + lp.
+# --------------------------------------------------------------------------
+
+def diverse_beam_candidates(
+    lp: jax.Array,         # (B, K, V) this step's log-probs
+    alive_lp: jax.Array,   # (B, K) cumulative beam scores
+    num_groups: int,
+    diversity_strength: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Hamming-diversity beam search (reference utils/search.py:532-595):
+    beams split into ``num_groups`` slot-interleaved groups (beam i in group
+    i % G); group g's log-probs are penalized by ``strength`` times the count
+    of times each token was already picked by groups < g this step. The
+    penalty persists into the running scores, matching the reference."""
+    B, K, V = lp.shape
+    G = num_groups
+    if K % G != 0:
+        raise ValueError(f"beam size {K} must be divisible by num_groups {G}")
+    Kg = K // G
+    k = min(2 * Kg, Kg * V - 1)
+    diversity = jnp.zeros((B, V), lp.dtype)
+    ss, tt, bb = [], [], []
+    for g in range(G):
+        lp_g = lp[:, g::G] + alive_lp[:, g::G, None]
+        if g > 0:
+            lp_g = lp_g - diversity_strength * diversity[:, None, :]
+        s, idx = jax.lax.top_k(lp_g.reshape(B, Kg * V), k)
+        toks = idx % V
+        beams = (idx // V) * G + g
+        diversity = diversity.at[jnp.arange(B)[:, None], toks].add(1.0)
+        ss.append(s)
+        tt.append(toks)
+        bb.append(beams)
+    # interleave groups by rank (reference stacks on dim=2 then flattens)
+    scores = jnp.stack(ss, axis=-1).reshape(B, -1)
+    tokens = jnp.stack(tt, axis=-1).reshape(B, -1)
+    beams = jnp.stack(bb, axis=-1).reshape(B, -1)
+    return scores, tokens, beams
+
+
+def diverse_siblings_candidates(
+    lp: jax.Array,         # (B, K, V)
+    alive_lp: jax.Array,   # (B, K)
+    step: jax.Array,
+    diversity_rate: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Diverse siblings (reference utils/search.py:718-787, Li & Jurafsky):
+    rank each beam's top-k tokens and subtract rank * rate before the global
+    top-k, so siblings of one beam compete at a discount. Step 0 is plain
+    beam search (only one live beam), matching the reference."""
+    B, K, V = lp.shape
+    k = min(2 * K, V - 1)
+    total = lp + alive_lp[:, :, None]
+    s, t = jax.lax.top_k(total, k)                      # (B, K, k) per-beam siblings
+    penalty = jnp.arange(1, k + 1, dtype=s.dtype) * diversity_rate
+    s = jnp.where(step == 0, s, s - penalty)
+    fs, fi = jax.lax.top_k(s.reshape(B, K * k), k)
+    beams = fi // k
+    tokens = jnp.take_along_axis(t.reshape(B, K * k), fi, axis=1)
+    return fs, tokens, beams
+
+
+# ---- lexically-constrained decoding (DBA-style; reference
+# utils/search.py:204-506 + token_generation_constraints.py). Constraints
+# are per-sample token sequences that MUST appear in the output. Per-beam
+# state = one progress pointer per constraint; candidate selection protects
+# the best candidate of every completion "bank" (Post & Vilar dynamic beam
+# allocation) so constraint-advancing hypotheses always survive.
+
+class LexicalConstraints(NamedTuple):
+    """Array-only (pytree-safe): the static max_bank is returned separately
+    by build()."""
+
+    tokens: jax.Array    # (B, C, L) int32, -1 padded
+    lengths: jax.Array   # (B, C) int32
+
+    @staticmethod
+    def build(batch_constraints) -> Tuple["LexicalConstraints", int]:
+        """batch_constraints: list (per sample) of lists of token sequences.
+        Returns (constraints, max_bank) — max_bank is static (jit key)."""
+        import numpy as np
+
+        B = len(batch_constraints)
+        C = max((len(c) for c in batch_constraints), default=1) or 1
+        L = max((len(s) for c in batch_constraints for s in c), default=1) or 1
+        toks = np.full((B, C, L), -1, np.int32)
+        lens = np.zeros((B, C), np.int32)
+        for b, cons in enumerate(batch_constraints):
+            for c, seq in enumerate(cons):
+                toks[b, c, : len(seq)] = np.asarray(seq, np.int32)
+                lens[b, c] = len(seq)
+        return (
+            LexicalConstraints(tokens=jnp.asarray(toks), lengths=jnp.asarray(lens)),
+            int(lens.sum(axis=1).max()),
+        )
+
+
+def lex_init_ptr(cons: LexicalConstraints, beam_size: int) -> jax.Array:
+    B, C = cons.lengths.shape
+    return jnp.zeros((B * beam_size, C), jnp.int32)
+
+
+def _lex_expected(cons: LexicalConstraints, ptr: jax.Array, beam_size: int):
+    """Next expected token per (beam, constraint); -1 when completed."""
+    N, C = ptr.shape
+    b_idx = jnp.arange(N) // beam_size
+    toks = cons.tokens[b_idx]                                  # (N, C, L)
+    lens = cons.lengths[b_idx]                                 # (N, C)
+    safe = jnp.minimum(ptr, jnp.maximum(lens - 1, 0))
+    cur = jnp.take_along_axis(toks, safe[:, :, None], axis=2)[:, :, 0]
+    done = ptr >= lens
+    return jnp.where(done, -1, cur), done, toks, lens
+
+
+def lex_advance(cons: LexicalConstraints, ptr: jax.Array, chosen: jax.Array,
+                beam_size: int) -> jax.Array:
+    """Advance per-beam constraint pointers by the chosen token: match ->
+    +1; mismatch mid-constraint -> restart (1 if the token re-starts the
+    constraint, else 0); completed constraints stay completed."""
+    cur, done, toks, lens = _lex_expected(cons, ptr, beam_size)
+    match = (chosen[:, None] == cur) & ~done
+    first = toks[:, :, 0]
+    restart = jnp.where(chosen[:, None] == first, 1, 0)
+    return jnp.where(done, ptr, jnp.where(match, ptr + 1, restart))
+
+
+def lex_bank(cons: LexicalConstraints, ptr: jax.Array, beam_size: int) -> jax.Array:
+    """Completed constraint tokens per beam (the DBA 'bank')."""
+    N, C = ptr.shape
+    lens = cons.lengths[jnp.arange(N) // beam_size]
+    return jnp.minimum(ptr, lens).sum(axis=1)
+
+
+def lex_candidate_extension(
+    cons: LexicalConstraints,
+    ptr: jax.Array,            # (N, C)
+    lp: jax.Array,             # (B, K, V) log-probs
+    alive_lp: jax.Array,       # (B, K)
+    beam_size: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-beam constraint-advancing candidates (B, K*C): scores/token/beam —
+    appended to the top-2K pool so bank protection can keep them alive."""
+    B, K, V = lp.shape
+    cur, done, _, _ = _lex_expected(cons, ptr, beam_size)       # (N, C)
+    cur2 = cur.reshape(B, K, -1)
+    C = cur2.shape[-1]
+    safe_tok = jnp.maximum(cur2, 0)
+    s = jnp.take_along_axis(lp, safe_tok, axis=2) + alive_lp[:, :, None]
+    s = jnp.where(cur2 < 0, NEG_INF, s)                         # completed -> dead
+    beams = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, C))
+    return s.reshape(B, K * C), safe_tok.reshape(B, K * C), beams.reshape(B, K * C)
+
+
+def lex_protect(
+    scores: jax.Array,       # (B, M) candidate scores (eos'd candidates excluded upstream)
+    banks: jax.Array,        # (B, M) candidate bank after taking its token
+    max_bank: int,
+) -> jax.Array:
+    """DBA selection key: boost the best candidate of every non-empty bank so
+    one hypothesis per completion level always survives the alive top-K."""
+    B, M = scores.shape
+    n_banks = max_bank + 1
+    bank_mask = banks[:, :, None] == jnp.arange(n_banks)[None, None, :]
+    per_bank = jnp.where(bank_mask, scores[:, :, None], NEG_INF)   # (B, M, n_banks)
+    best = jnp.argmax(per_bank, axis=1)                            # (B, n_banks)
+    has_any = jnp.max(per_bank, axis=1) > NEG_INF / 2              # (B, n_banks)
+    # OR-scatter: argmax positions become protected only for non-empty banks
+    protected = jnp.zeros((B, M), bool).at[jnp.arange(B)[:, None], best].max(has_any)
+    return jnp.where(protected & (scores > NEG_INF / 2), scores + 1e6, scores)
+
+
+# --------------------------------------------------------------------------
 # Trie-constrained decoding (reference: constraint trie masking per decode
 # step inside WrapperModel.forward_decoder,
 # ofasys/generator/sequence_generator.py:684-752 + ofasys/utils/trie.py:13).

@@ -84,6 +84,10 @@ class SequenceGenerator:
         sampling_topp: float = -1.0,
         return_n_best: int = 1,
         constraint_trie=None,
+        search_strategy: str = "beam",   # beam | diverse_beam | diverse_siblings | lexical
+        num_groups: int = 2,             # diverse_beam
+        diversity_strength: float = 0.5, # diverse_beam Hamming penalty
+        diversity_rate: float = 0.5,     # diverse_siblings rank penalty
     ):
         self.model = model
         self.dictionary = dictionary
@@ -101,6 +105,10 @@ class SequenceGenerator:
         self.sampling_topk = sampling_topk
         self.sampling_topp = sampling_topp
         self.return_n_best = max(1, return_n_best)
+        self.search_strategy = search_strategy
+        self.num_groups = num_groups
+        self.diversity_strength = diversity_strength
+        self.diversity_rate = diversity_rate
         self.constraint_start = self.constraint_end = None
         if constraint_range:
             lo, hi = constraint_range.split(",")
@@ -143,13 +151,25 @@ class SequenceGenerator:
         else:
             prefix_tokens = np.zeros((B, 0), np.int32)
 
-        key = (B, max_len, P, self.beam_size, self.sampling)
+        cons = None
+        max_bank = 0
+        if self.search_strategy == "lexical":
+            raw = sample.get("constraints")
+            if raw is None:
+                raise ValueError("search_strategy='lexical' needs sample['constraints'] "
+                                 "(per-sample lists of token sequences)")
+            cons, max_bank = search.LexicalConstraints.build(raw)
+
+        key = (B, max_len, P, self.beam_size, self.sampling,
+               self.search_strategy,
+               None if cons is None else (cons.tokens.shape, max_bank))
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
-                functools.partial(self._generate, max_len=max_len, prefix_len=P)
+                functools.partial(self._generate, max_len=max_len, prefix_len=P,
+                                  max_bank=max_bank)
             )
         seqs, scores = self._compiled[key](params, src_slots, tgt_slot, jnp.asarray(prefix_tokens),
-                                           jax.random.PRNGKey(seed))
+                                           jax.random.PRNGKey(seed), cons)
         return self._finalize(np.asarray(seqs), np.asarray(scores))
 
     def _finalize(self, seqs: np.ndarray, scores: np.ndarray) -> List[List[SequenceGeneratorOutput]]:
@@ -167,7 +187,8 @@ class SequenceGenerator:
         return out
 
     # --------------------------------------------------------------- jitted
-    def _generate(self, params, src_slots, tgt_slot, prefix_tokens, rng, *, max_len: int, prefix_len: int):
+    def _generate(self, params, src_slots, tgt_slot, prefix_tokens, rng, cons=None, *,
+                  max_len: int, prefix_len: int, max_bank: int = 0):
         net = self.model.net
         K = self.beam_size
         enc = net.apply({"params": params}, src_slots, method=net.encode)
@@ -197,6 +218,12 @@ class SequenceGenerator:
             if self.trie is not None
             else jnp.zeros((N,), jnp.int32)
         )
+        # lexical-constraint progress pointers, one row per beam
+        lexptr = (
+            search.lex_init_ptr(cons, K)
+            if self.search_strategy == "lexical" and cons is not None
+            else jnp.zeros((N, 1), jnp.int32)
+        )
 
         def step_logits(carry_seq, step, cache):
             tokens = jax.lax.dynamic_slice_in_dim(
@@ -209,14 +236,14 @@ class SequenceGenerator:
             return logits[:, -1].astype(jnp.float32), new_cache
 
         def cond(state):
-            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates = state
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexptr = state
             best_alive = jnp.max(alive_lp, axis=1) / search.length_penalty(jnp.asarray(max_len), self.lenpen)
             worst_fin = jnp.min(jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
             improvable = jnp.any(~fin_flags.all(axis=1) | (best_alive > worst_fin))
             return (step <= max_len) & improvable
 
         def body(state):
-            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates = state
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexptr = state
             lp, cache = step_logits(seq, step, cache)           # (N, V)
             if self.temperature != 1.0:
                 lp = lp / self.temperature
@@ -230,6 +257,16 @@ class SequenceGenerator:
                 lp = search.apply_constraint_range(lp, self.constraint_start, self.constraint_end, self.eos)
             if self.ngram > 0:
                 lp = search.block_repeat_ngrams(lp, seq.reshape(N, T_buf), step + 1, self.ngram)
+
+            # lexical constraints: EOS is banned until every constraint is
+            # met (guarantees emitted sequences contain all constraints)
+            if self.search_strategy == "lexical" and cons is not None:
+                bank_now = search.lex_bank(cons, lexptr, K)          # (N,)
+                total = cons.lengths.sum(axis=1)                      # (B,)
+                unmet = bank_now < jnp.repeat(total, K)
+                lp = lp.at[:, self.eos].set(
+                    jnp.where(unmet, NEG_INF, lp[:, self.eos])
+                )
 
             # force EOS at the last step so every beam finishes
             only_eos = jnp.full((V,), NEG_INF).at[self.eos].set(0.0)
@@ -252,20 +289,55 @@ class SequenceGenerator:
             cand_lp = alive_lp[:, :, None] + lp                  # (B, K, V)
             flat = cand_lp.reshape(B, K * V)
 
+            cand_banks = None
             if self.sampling:
                 rng, sub = jax.random.split(rng)
                 # independent per-beam sampling: pick token per beam, keep beams
                 tok = jax.random.categorical(sub, lp.reshape(B * K, V), axis=-1).reshape(B, K)
                 cand_idx = jnp.arange(K)[None, :] * V + tok      # (B, K) -> pretend topk of K
                 topk_lp = jnp.take_along_axis(flat, cand_idx, axis=1)
-                topk_idx = cand_idx
-                n_cand = K
+                cand_beam = cand_idx // V
+                cand_tok = cand_idx % V
+            elif self.search_strategy == "diverse_beam":
+                topk_lp, cand_tok, cand_beam = search.diverse_beam_candidates(
+                    lp, alive_lp, self.num_groups, self.diversity_strength
+                )
+            elif self.search_strategy == "diverse_siblings":
+                topk_lp, cand_tok, cand_beam = search.diverse_siblings_candidates(
+                    lp, alive_lp, step, self.diversity_rate
+                )
+            elif self.search_strategy == "lexical" and cons is not None:
+                topk_lp, topk_idx = jax.lax.top_k(flat, 2 * K)
+                cand_beam = topk_idx // V
+                cand_tok = topk_idx % V
+                # append per-beam constraint-advancing candidates so bank
+                # protection can keep them alive
+                ext_s, ext_t, ext_b = search.lex_candidate_extension(
+                    cons, lexptr, lp, alive_lp, K
+                )
+                dup = jnp.any(
+                    (ext_b[:, :, None] == cand_beam[:, None, :])
+                    & (ext_t[:, :, None] == cand_tok[:, None, :]),
+                    axis=-1,
+                )
+                ext_s = jnp.where(dup, NEG_INF, ext_s)
+                topk_lp = jnp.concatenate([topk_lp, ext_s], axis=1)
+                cand_beam = jnp.concatenate([cand_beam, ext_b], axis=1)
+                cand_tok = jnp.concatenate([cand_tok, ext_t], axis=1)
+                # bank of every candidate after taking its token
+                M = cand_tok.shape[1]
+                prev = jnp.take_along_axis(
+                    lexptr.reshape(B, K, -1), cand_beam[:, :, None], axis=1
+                )                                                  # (B, M, C)
+                adv = search.lex_advance(
+                    cons, prev.reshape(B * M, -1), cand_tok.reshape(B * M), M
+                )
+                cand_banks = search.lex_bank(cons, adv, M).reshape(B, M)
+                cand_adv_ptr = adv.reshape(B, M, -1)
             else:
                 topk_lp, topk_idx = jax.lax.top_k(flat, 2 * K)   # (B, 2K)
-                n_cand = 2 * K
-
-            cand_beam = topk_idx // V                             # (B, n_cand)
-            cand_tok = topk_idx % V
+                cand_beam = topk_idx // V
+                cand_tok = topk_idx % V
 
             # extend sequences
             cand_seq = jnp.take_along_axis(seq, cand_beam[:, :, None], axis=1)  # (B, n_cand, T)
@@ -274,10 +346,18 @@ class SequenceGenerator:
             is_eos = cand_tok == self.eos
             # ---- merge newly finished into the finished pool
             cand_scores = topk_lp / search.length_penalty(step + 1, self.lenpen)
-            new_fin_scores = jnp.where(is_eos, cand_scores, NEG_INF)
+            can_finish = is_eos
+            if cand_banks is not None:
+                # a hypothesis may only finish once every constraint is met
+                # (the max_len EOS force would otherwise leak unmet beams)
+                bank_beam = search.lex_bank(cons, lexptr, K).reshape(B, K)
+                met = jnp.take_along_axis(bank_beam, cand_beam, axis=1) >= \
+                    cons.lengths.sum(axis=1)[:, None]
+                can_finish = is_eos & met
+            new_fin_scores = jnp.where(can_finish, cand_scores, NEG_INF)
             all_fin_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
             all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores], axis=1)
-            all_fin_flags = jnp.concatenate([fin_flags, is_eos], axis=1)
+            all_fin_flags = jnp.concatenate([fin_flags, can_finish], axis=1)
             top_fin_scores, top_fin_idx = jax.lax.top_k(all_fin_scores, K)
             fin_seq = jnp.take_along_axis(all_fin_seq, top_fin_idx[:, :, None], axis=1)
             fin_scores = top_fin_scores
@@ -285,7 +365,13 @@ class SequenceGenerator:
 
             # ---- pick K alive (non-eos) candidates
             alive_cand_lp = jnp.where(is_eos, NEG_INF, topk_lp)
-            new_alive_lp, alive_idx = jax.lax.top_k(alive_cand_lp, K)
+            if cand_banks is not None:
+                # DBA: protect the best candidate of every completion bank
+                sel_key = search.lex_protect(alive_cand_lp, cand_banks, max_bank)
+                _, alive_idx = jax.lax.top_k(sel_key, K)
+                new_alive_lp = jnp.take_along_axis(alive_cand_lp, alive_idx, axis=1)
+            else:
+                new_alive_lp, alive_idx = jax.lax.top_k(alive_cand_lp, K)
             seq = jnp.take_along_axis(cand_seq, alive_idx[:, :, None], axis=1)
             chosen_beam = jnp.take_along_axis(cand_beam, alive_idx, axis=1)    # (B, K)
             cache = _gather_beams(cache, chosen_beam, B, K)
@@ -295,9 +381,14 @@ class SequenceGenerator:
                 tstates = search.trie_advance(
                     self.trie, prev.reshape(N), alive_tok.reshape(N)
                 )
-            return (step + 1, seq, new_alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates)
+            if cand_banks is not None:
+                lexptr = jnp.take_along_axis(
+                    cand_adv_ptr, alive_idx[:, :, None], axis=1
+                ).reshape(N, -1)
+            return (step + 1, seq, new_alive_lp, fin_seq, fin_scores, fin_flags, cache, rng,
+                    tstates, lexptr)
 
-        state = (jnp.int32(0), seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates)
+        state = (jnp.int32(0), seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng,
+                 tstates, lexptr)
         state = jax.lax.while_loop(cond, body, state)
-        _, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates = state
-        return fin_seq, fin_scores
+        return state[3], state[4]

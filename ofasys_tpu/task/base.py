@@ -229,6 +229,8 @@ class Task:
             no_repeat_ngram_size=g.ngram_blocker, constraint_range=g.constraint_range,
             sampling=g.sampling, sampling_topk=g.sampling_topk, sampling_topp=g.sampling_topp,
             return_n_best=g.return_n_best,
+            search_strategy=g.search_strategy, num_groups=g.num_groups,
+            diversity_strength=g.diversity_strength, diversity_rate=g.diversity_rate,
         )
         kwargs.update(overrides)
         # Closed-set target + a built trie -> constrain the beam loop to
