@@ -329,7 +329,26 @@ class Trainer:
         path = checkpoint_utils.latest_checkpoint(self.cfg.checkpoint.save_dir)
         if path is None or self.cfg.checkpoint.reset_optimizer:
             return None
-        state, meta = checkpoint_utils.load_checkpoint(path, target=self.state)
+        pre_meta = checkpoint_utils.upgrade_state_meta(checkpoint_utils.read_meta(path))
+        saved_syms = (pre_meta or {}).get("global_dict", {}).get("symbols")
+        cur_syms = self.global_dict.state_dict()["symbols"]
+        if saved_syms is not None and saved_syms != cur_syms:
+            # vocab changed between save and resume (a new task grew the
+            # dict): restore against the SAVED shapes, then remap embedding
+            # rows token-by-token (reference update_embedding,
+            # model/ofa.py:495-511). Old tokens stay bit-identical.
+            logger.info(
+                "vocab changed since checkpoint (%d -> %d tokens); remapping "
+                "embedding rows", len(saved_syms), len(cur_syms),
+            )
+            target_old = checkpoint_utils.resize_vocab_rows(
+                jax.device_get(self.state), len(saved_syms)
+            )
+            state, meta = checkpoint_utils.load_checkpoint(path, target=target_old)
+            state = checkpoint_utils.remap_vocab_rows(state, saved_syms, self.global_dict)
+        else:
+            state, meta = checkpoint_utils.load_checkpoint(path, target=self.state)
+        meta = checkpoint_utils.upgrade_state_meta(meta)
         self.state = jax.tree.map(
             lambda x, s: jax.device_put(x, s.sharding) if hasattr(s, "sharding") else x,
             state, self.state,

@@ -113,3 +113,115 @@ def load_checkpoint(path: str, target: Optional[Any] = None):
 def latest_checkpoint(save_dir: str) -> Optional[str]:
     last = os.path.join(save_dir, "checkpoint_last")
     return last if os.path.exists(last) else None
+
+
+def read_meta(path: str) -> Optional[Dict[str, Any]]:
+    """Read only the JSON sidecar (cheap pre-restore schema checks)."""
+    path = os.path.abspath(path)
+    if os.path.islink(path):
+        path = os.readlink(path)
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return None
+
+
+# ------------------------------------------------------- checkpoint surgery
+# (reference model/ofa.py:443-511 upgrade_state_dict_named/update_embedding,
+#  utils/checkpoint_utils.py:465 _upgrade_state_dict, :579 prune_state_dict)
+
+def remap_vocab_rows(state: Any, saved_symbols: List[str], new_dict, seed: int = 0) -> Any:
+    """Vocab-remap on resume (reference update_embedding, model/ofa.py:495-511):
+    when the global dictionary changed between save and resume (a new task
+    grew the vocab), re-scatter every ``embed_tokens/embedding``-shaped leaf
+    from old row order to new. Old tokens keep their learned rows
+    bit-identically; new tokens get normal(0, E^-0.5) rows in params/EMA and
+    zero rows in optimizer moments; dropped tokens are discarded."""
+    new_V = len(new_dict)
+    old_rows = []
+    new_rows = []
+    for old_idx, sym in enumerate(saved_symbols):
+        ni = new_dict.indices.get(sym)
+        if ni is not None:
+            old_rows.append(old_idx)
+            new_rows.append(ni)
+    old_rows = np.asarray(old_rows, np.int64)
+    new_rows = np.asarray(new_rows, np.int64)
+
+    def remap(path, leaf):
+        p = "/".join(str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+                     for k in path)
+        if not p.endswith("embed_tokens/embedding") or getattr(leaf, "ndim", 0) != 2:
+            return leaf
+        if leaf.shape[0] == new_V:
+            return leaf
+        E = leaf.shape[1]
+        arr = np.asarray(leaf)
+        is_params = "params" in p.split("/") or "ema_params" in p.split("/")
+        if is_params:
+            rng = np.random.default_rng(seed)
+            out = (rng.standard_normal((new_V, E)) * E ** -0.5).astype(arr.dtype)
+        else:  # optimizer moments: fresh rows start at zero
+            out = np.zeros((new_V, E), arr.dtype)
+        out[new_rows] = arr[old_rows]
+        return out
+
+    return jax.tree_util.tree_map_with_path(remap, state)
+
+
+def resize_vocab_rows(state: Any, V: int) -> Any:
+    """Zero-filled copy of ``state`` with every embed_tokens/embedding-shaped
+    leaf resized to V rows — the restore *target* when the saved checkpoint
+    was written under a different vocabulary size."""
+
+    def resize(path, leaf):
+        p = "/".join(str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+                     for k in path)
+        if not p.endswith("embed_tokens/embedding") or getattr(leaf, "ndim", 0) != 2:
+            return leaf
+        return np.zeros((V, leaf.shape[1]), np.asarray(leaf).dtype)
+
+    return jax.tree_util.tree_map_with_path(resize, state)
+
+
+def prune_state_dict(state: Any, keep: Optional[List[str]] = None,
+                     drop: Optional[List[str]] = None) -> Any:
+    """Drop param subtrees by path substring (reference prune_state_dict,
+    utils/checkpoint_utils.py:579 — used there for layerdrop-pruned
+    inference models). Returns a new tree with dropped leaves replaced by
+    None (flax tolerates missing optional modules)."""
+    import jax.tree_util as jtu
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                p = f"{prefix}/{k}" if prefix else str(k)
+                if drop and any(d in p for d in drop):
+                    continue
+                if keep and not isinstance(v, dict) and not any(s in p for s in keep):
+                    continue
+                w = walk(v, p)
+                if w is not None and (not isinstance(w, dict) or w):
+                    out[k] = w
+            return out
+        return tree
+
+    return walk(state)
+
+
+def upgrade_state_meta(meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Legacy-checkpoint upgrader hook (reference _upgrade_state_dict,
+    utils/checkpoint_utils.py:465): normalize older sidecar layouts in place
+    so resume code only sees the current schema."""
+    if meta is None:
+        return meta
+    # v0 sidecars stored the dictionary under "dictionary"
+    if "global_dict" not in meta and "dictionary" in meta:
+        meta["global_dict"] = meta.pop("dictionary")
+    # iterator states were once a flat list ordered like tasks
+    its = meta.get("iterator_states")
+    if isinstance(its, list):
+        meta["iterator_states"] = {str(i): s for i, s in enumerate(its)}
+    return meta
