@@ -101,13 +101,32 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
         model.initialize(global_dict, active_adaptors=tuple(adaptors), dtype=dtype)
 
+        # multi-host: adopt the jax process topology for data sharding
+        # (reference distributed_init rank/world, distributed/utils.py:210)
+        if self.dp_procs == 1 and jax.process_count() > 1:
+            self.dp_rank = jax.process_index()
+            self.dp_procs = jax.process_count()
+        if self.dp_procs > 1:
+            # rank-deterministic batch shapes: each host collates its own
+            # data shard, so dynamic longest-in-batch padding would give the
+            # hosts different compiled programs (collective mismatch); force
+            # fixed-length padding in every preprocessor that supports it
+            for task in tasks:
+                for pre in task.general_preprocess.name2pre.values():
+                    if hasattr(pre.cfg, "pad_to_fixed"):
+                        pre.cfg.pad_to_fixed = True
+            logger.info("multi-host: fixed-length batch padding enabled")
+
         # 3) mesh + optimizer
         self.mesh = build_mesh(cfg.parallel)
         dp_size = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
         for task in tasks:
-            if task.cfg.dataset.batch_size % dp_size != 0:
+            # batch_size is per host process (reference per-rank semantics);
+            # the global batch is batch_size * process_count
+            if (task.cfg.dataset.batch_size * self.dp_procs) % dp_size != 0:
                 raise ValueError(
-                    f"task {task.name!r}: batch_size {task.cfg.dataset.batch_size} must be "
+                    f"task {task.name!r}: global batch "
+                    f"{task.cfg.dataset.batch_size * self.dp_procs} must be "
                     f"divisible by data*fsdp mesh size {dp_size}"
                 )
         optimizer = build_optimizer(cfg.optimization, total_num_update=total_updates)

@@ -129,6 +129,11 @@ def main(argv: Optional[List[str]] = None):
         else:
             i += 1
     data = apply_overrides(load_yaml_config(path), sets)
+    # multi-host bootstrap (env-driven; no-op single-process) BEFORE any
+    # backend use so jax.devices() spans the slice
+    from ofasys_tpu.parallel.distributed import distributed_init
+
+    distributed_init()
     trainer, model, tasks = build_from_config(data)
     trainer.fit(model, tasks)
     return 0

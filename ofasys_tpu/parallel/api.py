@@ -126,12 +126,18 @@ def make_sharded_accumulate(mesh: Mesh, params_example: Any, rules=None):
 
 
 def put_batch(batch: Any, mesh: Mesh, update_freq: int = 1):
-    """Host numpy batch -> device, sharded over the data axes."""
+    """Host numpy batch -> device, sharded over the data axes. Under
+    multi-host JAX each process contributes its local batch rows
+    (jax.make_array_from_process_local_data); single-host is a device_put."""
     b_sh = batch_sharding(mesh, extra_leading_dims=1 if update_freq > 1 else 0)
+    multihost = jax.process_count() > 1
 
     def put(leaf):
-        if getattr(leaf, "ndim", 0) == 0:
-            return jax.device_put(leaf, NamedSharding(mesh, P()))
-        return jax.device_put(leaf, b_sh)
+        sh = NamedSharding(mesh, P()) if getattr(leaf, "ndim", 0) == 0 else b_sh
+        if multihost:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sh, np.asarray(leaf))
+        return jax.device_put(leaf, sh)
 
     return jax.tree.map(put, batch)

@@ -103,6 +103,16 @@ def tree_shardings(tree: Any, mesh: Mesh, rules=None, log_unmatched: bool = Fals
 
 
 def shard_tree(tree: Any, mesh: Mesh, rules=None):
-    """Device-put a host tree onto the mesh with rule-derived shardings."""
+    """Device-put a host tree onto the mesh with rule-derived shardings.
+    Under multi-host JAX, every process holds an identical host copy (same
+    init seed) and contributes only its addressable shards."""
     shardings = tree_shardings(tree, mesh, rules)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(x, s):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+
+        return jax.tree.map(put, tree, shardings)
     return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)

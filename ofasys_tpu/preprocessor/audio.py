@@ -42,6 +42,7 @@ class AudioPreprocessConfig(PreprocessConfig):
     max_frames: int = 1024
     n_frames_per_step: int = 1    # TTS frame packing
     seed: int = 1
+    pad_to_fixed: bool = False    # pad to max_frames (multi-host determinism)
 
 
 @register_config("ofasys.preprocess", "audio", AudioPreprocessConfig)
@@ -82,7 +83,10 @@ class AudioPreprocess(BasePreprocess):
 
     def collate(self, slots: List[Slot]) -> CollateOutput:
         feats = [s.value["inputs"] for s in slots]
-        batch = collate_arrays(feats, pad_value=0.0, pad_to_multiple=self.cfg.pad_to_multiple)
+        fixed = self.cfg.max_frames if getattr(self.cfg, "pad_to_fixed", False) else None
+        batch = collate_arrays(feats, pad_value=0.0,
+                               pad_to_multiple=self.cfg.pad_to_multiple,
+                               pad_to_length=fixed)
         lengths = np.asarray([f.shape[0] for f in feats], np.int32)
         value = {"inputs": batch, "lengths": lengths}
         sb = self.to_slot_batch(slots[0], value)

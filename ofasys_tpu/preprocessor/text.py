@@ -40,6 +40,11 @@ class TextPreprocessConfig(PreprocessConfig):
     vocab_bpe: Optional[str] = None
     max_src_length: int = 256
     max_tgt_length: int = 256
+    # pad every batch to max_src/tgt_length instead of longest-in-batch:
+    # REQUIRED under multi-host data sharding, where each host collates its
+    # own shard and per-batch dynamic lengths would diverge across ranks
+    # (collective mismatch). The Trainer flips this on when process_count>1.
+    pad_to_fixed: bool = False
     poisson_lambda: float = 3.0
     random_ratio: float = 0.0
     replace_length: int = 1
@@ -233,9 +238,12 @@ class TextPreprocess(BasePreprocess):
     def collate(self, slots: List[Slot]) -> CollateOutput:
         d = self.global_dict
         p2m = self.cfg.pad_to_multiple
+        fixed_src = self.cfg.max_src_length if self.cfg.pad_to_fixed else None
+        fixed_tgt = self.cfg.max_tgt_length if self.cfg.pad_to_fixed else None
 
         def batchify(key, pad=d.pad()):
-            return collate_tokens([s.value[key] for s in slots], pad_idx=pad, pad_to_multiple=p2m)
+            return collate_tokens([s.value[key] for s in slots], pad_idx=pad,
+                                  pad_to_multiple=p2m, pad_to_length=fixed_src)
 
         if slots[0].is_src:
             batch = self.to_slot_batch(slots[0], {"inputs": batchify("inputs")})
@@ -243,10 +251,12 @@ class TextPreprocess(BasePreprocess):
 
         # decoder side: teacher-forced shift
         prev = collate_tokens(
-            [s.value["inputs"][:-1] for s in slots], pad_idx=d.pad(), pad_to_multiple=p2m
+            [s.value["inputs"][:-1] for s in slots], pad_idx=d.pad(),
+            pad_to_multiple=p2m, pad_to_length=fixed_tgt,
         )
         target = collate_tokens(
-            [s.value["target"][1:] for s in slots], pad_idx=d.pad(), pad_to_multiple=p2m
+            [s.value["target"][1:] for s in slots], pad_idx=d.pad(),
+            pad_to_multiple=p2m, pad_to_length=fixed_tgt,
         )
         prefix = collate_tokens(
             [s.value["prefix_tokens"][1:-1] if len(s.value["prefix_tokens"]) > 1 else np.asarray([], np.int32)
