@@ -87,6 +87,7 @@ class DatasetConfig(BaseDataclass):
     validate_interval: int = 1
     validate_interval_updates: int = 0
     fixed_validation_seed: Optional[int] = None
+    max_valid_batches: Optional[int] = None  # cap validation batches per pass
     skip_invalid_size_inputs_valid_test: bool = False
     prefetch: int = 2              # host-side prefetch depth (device feed)
 

@@ -62,6 +62,9 @@ class Trainer:
         # multi-host data sharding (set by distributed_init / launch)
         self.dp_rank = 0
         self.dp_procs = 1
+        # validate/early-stop state
+        self._best_val: Optional[float] = None
+        self._patience_left = self.cfg.checkpoint.patience
 
     # ------------------------------------------------------------- fitting
     def fit(self, model, tasks, max_update: Optional[int] = None):
@@ -219,6 +222,53 @@ class Trainer:
             if cfg.checkpoint.save_interval_updates and \
                     (update + 1) % cfg.checkpoint.save_interval_updates == 0:
                 self.save_checkpoint(f"checkpoint_1_{update + 1}", update + 1)
+            vi = cfg.dataset.validate_interval_updates
+            if vi and (update + 1) % vi == 0:
+                if self.validate_and_save(update + 1):
+                    logger.info(
+                        "early stop at update %d: %s did not improve for %d "
+                        "validations (patience)", update + 1,
+                        cfg.checkpoint.best_checkpoint_metric, cfg.checkpoint.patience,
+                    )
+                    break
+
+    def validate_and_save(self, num_updates: int) -> bool:
+        """Validate every task that has a valid split, track the mean
+        best-checkpoint metric, keep checkpoint_best, and signal patience-
+        based early stop (reference engine/trainer.py:1535-1698 +
+        should_stop_early:1381). Returns True when training should stop."""
+        cfg = self.cfg
+        vals = []
+        for task in self.tasks:
+            if task.cfg.dataset.disable_validation or "valid" not in task.datasets:
+                continue
+            metrics = self.validate(task, max_batches=cfg.dataset.max_valid_batches)
+            for k, v in metrics.items():
+                key = f"valid:{task.name}:{k}"
+                if key not in self.meters:
+                    self.meters.add_meter(key, AverageMeter(round=4))
+                self.meters[key].update(float(v))
+            key = cfg.checkpoint.best_checkpoint_metric
+            if key in metrics:
+                vals.append(float(metrics[key]))
+        if not vals:
+            return False
+        score = float(np.mean(vals))
+        maximize = cfg.checkpoint.maximize_best_checkpoint_metric
+        better = (
+            self._best_val is None
+            or (score > self._best_val if maximize else score < self._best_val)
+        )
+        if better:
+            self._best_val = score
+            self._patience_left = cfg.checkpoint.patience
+            if not cfg.checkpoint.no_save:
+                self.save_checkpoint(f"checkpoint_1_{num_updates}", num_updates, is_best=True)
+        elif cfg.checkpoint.patience > 0:
+            self._patience_left -= 1
+            if self._patience_left <= 0:
+                return True
+        return False
 
     def train_one_update(self):
         """One update: every task contributes one batch. No host sync —
@@ -318,7 +368,11 @@ class Trainer:
             self._valid_fns[task.name] = jax.jit(make_valid_step(self.model, task.criterion))
         fn = self._valid_fns[task.name]
         logs = []
-        it = task.get_batch_iterator("valid")
+        # fresh iterator: every validation pass scores the SAME fixed subset
+        # (reference fixed_validation_seed semantics) — a shared stateful
+        # iterator would rotate batches between passes and make the patience
+        # metric non-comparable
+        it = task.get_batch_iterator("valid", fresh=True)
         for i, batch in enumerate(it.next_epoch_itr(shuffle=False)):
             if max_batches is not None and i >= max_batches:
                 break

@@ -25,6 +25,11 @@ from ofasys_tpu.preprocessor.text import TextPreprocess, TextPreprocessConfig
 @dataclass
 class BoxPreprocessConfig(TextPreprocessConfig):
     num_bins: int = 1000
+    # joint image+box train-time transforms (reference box.py:36-143 applies
+    # flip/resize/object-center-crop to the IMAGE and BOX slots together via
+    # utils/transforms.py so supervision stays consistent)
+    train_transforms: bool = True
+    resize_scales: tuple = (0.8, 0.9, 1.0, 1.1, 1.2)
 
 
 @register_config("ofasys.preprocess", "box", BoxPreprocessConfig)
@@ -32,6 +37,7 @@ class BoxPreprocess(TextPreprocess):
     def __init__(self, global_dict, cfg: BoxPreprocessConfig):
         super().__init__(global_dict, cfg)
         self.bin_start, self.bin_end = global_dict.add_namespace("<bin>", cfg.num_bins)
+        self._trng = np.random.default_rng(cfg.seed if hasattr(cfg, "seed") else 1)
 
     # ------------------------------------------------------------- encoding
     def encode_box(self, box: np.ndarray) -> np.ndarray:
@@ -72,6 +78,69 @@ class BoxPreprocess(TextPreprocess):
             raise PreprocessSkipException(f"box must have 4 coords, got {box.shape}")
         slot.value = self.encode_box(np.clip(box, 0.0, 1.0))
         return TextPreprocess.map(self, slot)
+
+    def instruction_map(self, ist):
+        """Whole-instruction hook: flip/resize/crop the IMAGE slot and the
+        BOX slot(s) jointly at train time (reference DefaultBoxPreprocess
+        instruction_map, box.py:36-143 + utils/transforms.py)."""
+        from ofasys_tpu import ModalityType
+        from ofasys_tpu.configure import ConfigStore
+        from ofasys_tpu.preprocessor.image import load_image
+        from ofasys_tpu.utils import transforms as T
+
+        if not self.cfg.train_transforms:
+            return ist
+        img_slots = [s for s in ist.slots
+                     if s.modality == ModalityType.IMAGE and s.is_src
+                     and s.value is not None and not isinstance(s.value, dict)]
+        box_slots = [s for s in ist.slots
+                     if s.modality == ModalityType.BOX and s.value is not None
+                     and not (isinstance(s.value, dict) and "inputs" in s.value)]
+        if not img_slots or not box_slots:
+            return ist
+        if (img_slots[0].split or "train") != "train":
+            return ist
+        img = load_image(img_slots[0].value)
+        h, w = img.shape[:2]
+        boxes = []
+        for s in box_slots:
+            v = s.value
+            if isinstance(v, dict):
+                bw, bh = float(v.get("width", w)), float(v.get("height", h))
+                b = np.asarray(v["box"], np.float32)
+                if bw != w or bh != h:  # rescale declared dims to pixels
+                    b = b * np.asarray([w / bw, h / bh, w / bw, h / bh], np.float32)
+            else:
+                b = np.asarray(v, np.float32) * np.asarray([w, h, w, h], np.float32)
+            boxes.append(b)
+        boxes = np.stack(boxes)
+
+        size = self._patch_image_size(img_slots[0])
+        scales = [max(8, int(round(size * r))) for r in self.cfg.resize_scales]
+        pipeline = T.Compose([
+            T.RandomHorizontalFlip(0.5, rng=self._trng),
+            T.RandomResize(scales, rng=self._trng),
+        ])
+        img, boxes = pipeline(img, boxes)
+        img, boxes = T.object_center_crop(img, boxes, size)
+
+        img_slots[0].value = img
+        ch, cw = img.shape[:2]
+        for s, b in zip(box_slots, boxes):
+            s.value = {"box": b.tolist(), "width": float(cw), "height": float(ch)}
+        return ist
+
+    def _patch_image_size(self, img_slot) -> int:
+        from ofasys_tpu.configure import ConfigStore
+        from ofasys_tpu.preprocessor.general import DEFAULT_PREPROCESS
+        from ofasys_tpu import ModalityType
+
+        name = (img_slot.get_attr("preprocess")
+                or DEFAULT_PREPROCESS[ModalityType.IMAGE])
+        try:
+            return int(ConfigStore().get("ofasys.preprocess", name).config.patch_image_size)
+        except Exception:
+            return 224
 
     def postprocess(self, outputs, sample):
         for out in outputs if isinstance(outputs, list) else [outputs]:

@@ -34,6 +34,10 @@ class ImagePreprocessConfig(PreprocessConfig):
     interpolation: str = "bicubic"
     random_crop: bool = False
     random_flip: bool = False
+    # RandAugment (reference utils/vision_helper.py:332; applied train-only)
+    rand_augment: bool = False
+    rand_augment_n: int = 2
+    rand_augment_m: int = 9
     seed: int = 1
 
 
@@ -78,6 +82,12 @@ class ImagePreprocess(BasePreprocess):
     def __init__(self, global_dict, cfg: ImagePreprocessConfig):
         super().__init__(global_dict, cfg)
         self.rng = np.random.default_rng(cfg.seed)
+        self._rand_augment = None
+        if cfg.rand_augment:
+            from ofasys_tpu.utils.vision_helper import RandAugment
+
+            self._rand_augment = RandAugment(cfg.rand_augment_n, cfg.rand_augment_m,
+                                             rng=self.rng)
 
     def map(self, slot: Slot) -> Slot:
         if isinstance(slot.value, dict):
@@ -94,6 +104,8 @@ class ImagePreprocess(BasePreprocess):
         arr = resize_image(arr, size, self.cfg.interpolation)
         if slot.split == "train" and self.cfg.random_flip and self.rng.random() < 0.5:
             arr = arr[:, ::-1]
+        if slot.split == "train" and self._rand_augment is not None:
+            arr = self._rand_augment(arr)
         arr = arr / 255.0
         arr = (arr - np.asarray(self.cfg.mean, np.float32)) / np.asarray(self.cfg.std, np.float32)
         slot.value = {"inputs": arr.astype(np.float32)}

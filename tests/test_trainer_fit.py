@@ -96,3 +96,30 @@ def test_fit_resumes_from_checkpoint(tmp_path):
     # restore happened: start_update == 5, so no extra updates ran
     p2 = jnp.asarray(state2.params["embed_tokens"]["embedding"])
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_patience_early_stop_and_best_checkpoint(tmp_path):
+    """validate_and_save: mean-metric tracking, checkpoint_best, patience
+    (reference engine/trainer.py:1535-1698, should_stop_early:1381)."""
+    task = Task(name="copy", instruction="[TEXT:src] -> [TEXT:tgt]")
+    task.cfg.dataset.batch_size = 8
+    task.add_dataset(make_records(), "train")
+    task.add_dataset(make_records(16), "valid")
+
+    model = GeneralistModel(arch="tiny")
+    model.cfg.encoder.layers = model.cfg.decoder.layers = 1
+    model.cfg.dropout = 0.0
+
+    cfg = TrainerConfig()
+    cfg.optimization.lr = (0.0,)  # frozen model: valid loss can never improve
+    cfg.dataset.validate_interval_updates = 2
+    cfg.dataset.max_valid_batches = 1
+    cfg.checkpoint.patience = 2
+    cfg.checkpoint.save_dir = str(tmp_path / "ckpt")
+    trainer = Trainer(cfg)
+    state = trainer.fit(model, [task], max_update=40)
+    # first validation sets best (+ saves checkpoint_best); the next two
+    # cannot improve -> stop at update 6, far before 40
+    assert int(state.step) <= 8
+    assert os.path.exists(tmp_path / "ckpt" / "checkpoint_best")
+    assert any(k.startswith("valid:copy:") for k in trainer.meters.keys())
