@@ -31,6 +31,13 @@ class AudioFbankAdaptorConfig(BaseAdaptorConfig):
     subsample_stride: int = 4       # total conv subsampling factor (2x2)
     conv_channels: int = 256
     token_bucket_size: int = 256
+    # wav2vec-style feature masking for audio pretraining
+    # (reference adaptor/audio.py:401-460): span masks over subsampled
+    # frames are replaced by a learned mask embedding; channel masks zero
+    # fbank channels. Mask indices arrive in slot.value (in-jit random from
+    # the speech_pretrain criterion).
+    mask_length: int = 10
+    mask_channel_length: int = 10
 
 
 @dataclass
@@ -53,6 +60,11 @@ class AudioFbankAdaptor(BaseAdaptor):
         lengths = slot.value.get("lengths")
         B, T, M = feats.shape
 
+        # channel masking (pretraining): zero whole fbank channels
+        chan_mask = slot.value.get("mask_channel_indices")
+        if chan_mask is not None:
+            feats = jnp.where(chan_mask[:, None, :], 0.0, feats)
+
         x = feats
         n_convs = max(1, int(np.log2(acfg.subsample_stride)))
         for i in range(n_convs):
@@ -61,6 +73,15 @@ class AudioFbankAdaptor(BaseAdaptor):
             x = jax.nn.gelu(x, approximate=False)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(x)
         Ts = x.shape[1]
+
+        # span masking (pretraining): learned mask embedding at masked frames.
+        # mask_emb exists unconditionally so init-time traces (no mask) and
+        # pretraining traces (masked) share one param tree.
+        mask_emb = self.param("mask_emb", nn.initializers.normal(0.02),
+                              (self.embed_dim,), jnp.float32)
+        frame_mask = slot.value.get("mask_indices")
+        if frame_mask is not None:
+            x = jnp.where(frame_mask[:, :, None], mask_emb.astype(x.dtype), x)
 
         if lengths is not None:
             sub_lengths = jnp.ceil(lengths.astype(jnp.float32) / acfg.subsample_stride).astype(jnp.int32)

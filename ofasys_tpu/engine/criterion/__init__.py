@@ -11,9 +11,9 @@ __all__ = [
 
 from ofasys_tpu.engine.criterion.cross_entropy import (
     CrossEntropyCriterion,
-    SpeechPretrainCriterion,
     SpeechToTextCriterion,
 )
+from ofasys_tpu.engine.criterion.speech_pretrain_loss import SpeechPretrainCriterion
 from ofasys_tpu.engine.criterion.tacotron2_loss import Tacotron2Criterion
 from ofasys_tpu.engine.criterion.diffusion_loss import DiffusionCriterion
 from ofasys_tpu.engine.criterion.scst_loss import ScstRewardCriterion, scst_train_step

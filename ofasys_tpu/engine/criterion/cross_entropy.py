@@ -33,7 +33,3 @@ class SpeechToTextCriterion(LabelSmoothedCrossEntropyCriterion):
     """ASR: token CE over transcripts (the reference variant adds CTC
     options that are parked until a CTC head lands)."""
 
-
-@register_config("ofasys.criterion", "speech_pretrain_loss", SpeechToTextCriterionConfig)
-class SpeechPretrainCriterion(LabelSmoothedCrossEntropyCriterion):
-    """Masked audio pretraining objective (wav2vec-style target CE)."""

@@ -184,6 +184,26 @@ class MultiheadAttention(nn.Module):
                 dropout_rate=dropout, dropout_rng=dropout_rng,
                 dtype=self.dtype,
             )
+        if self.is_mutable_collection("intermediates"):
+            # observers (guided-attention loss) request probabilities by
+            # making 'intermediates' mutable; this branch never traces in
+            # normal training/decoding, so the extra softmax costs nothing
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                (q * scaling).astype(jnp.float32), k.astype(jnp.float32),
+            )
+            if bias is not None:
+                logits = logits + bias.astype(jnp.float32)
+            obs_mask = mask
+            if causal:
+                from ofasys_tpu.ops.attention import causal_mask as _cm
+
+                cm = _cm(Tq_, Tk_)
+                obs_mask = cm if obs_mask is None else jnp.logical_and(obs_mask, cm)
+            if obs_mask is not None:
+                logits = jnp.where(obs_mask, logits, -1e9)
+            self.sow("intermediates", "attn_probs", jax.nn.softmax(logits, axis=-1))
+
         if self.scale_heads:
             c_attn = self.param("c_attn", nn.initializers.ones, (self.num_heads,), jnp.float32)
             x = x * c_attn.astype(self.dtype)[None, None, :, None]

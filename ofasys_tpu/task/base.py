@@ -132,6 +132,9 @@ class Task:
         store = ConfigStore()
         crit_node = store.get("ofasys.criterion", self.cfg.criterion)
         self.criterion = crit_node.target_cls(crit_node.config, pad_id=global_dict.pad())
+        # criteria that project onto sub-vocabs (speech_pretrain MAM) need
+        # the dictionary's namespace ranges
+        self.criterion.global_dict = global_dict
         self.metrics = []
         for mname in self.cfg.evaluation.metrics:
             node = store.get("ofasys.metric", mname)
