@@ -43,6 +43,7 @@ class CommonConfig(BaseDataclass):
     log_format: str = "simple"
     tensorboard_logdir: Optional[str] = None
     wandb_project: Optional[str] = None
+    azureml_logging: bool = False
     profile: bool = False
     profile_dir: str = "/tmp/ofasys_tpu_profile"
     user_dir: Optional[str] = None

@@ -201,6 +201,7 @@ class Trainer:
         self.progress = build_progress_bar(
             cfg.common.log_format, tensorboard_logdir=cfg.common.tensorboard_logdir,
             wandb_project=cfg.common.wandb_project,
+            azureml_logging=cfg.common.azureml_logging,
         )
         self._rng = jax.random.PRNGKey(cfg.common.seed)
         self._iterators = {

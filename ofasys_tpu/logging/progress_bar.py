@@ -130,9 +130,40 @@ class WandBWrapper(BaseProgressBar):
         self.log(stats, tag=tag, step=step)
 
 
+class AzureMLWrapper(BaseProgressBar):
+    """AzureML run-metric sink (reference progress_bar.py:443); requires the
+    azureml-core package inside an AzureML run context, silently disabled
+    otherwise. An explicit ``run`` object can be injected for tests."""
+
+    def __init__(self, inner: BaseProgressBar, run=None):
+        super().__init__(inner.iterable, inner.epoch, inner.prefix)
+        self.inner = inner
+        self.run = run
+        if self.run is None:
+            try:
+                from azureml.core import Run
+
+                self.run = Run.get_context(allow_offline=False)
+            except Exception:
+                self.run = None
+
+    def log(self, stats, tag=None, step=None):
+        if self.run is not None:
+            prefix = f"{tag}/" if tag else ""
+            for k, v in stats.items():
+                if isinstance(v, Number):
+                    self.run.log(f"{prefix}{k}", float(v))
+        self.inner.log(stats, tag=tag, step=step)
+
+    def print(self, stats, tag=None, step=None):
+        self.log(stats, tag=tag, step=step)
+
+
 def build_progress_bar(log_format: str = "simple", iterable=None, epoch=None,
                        tensorboard_logdir: Optional[str] = None,
-                       wandb_project: Optional[str] = None) -> BaseProgressBar:
+                       wandb_project: Optional[str] = None,
+                       azureml_logging: bool = False,
+                       azureml_run=None) -> BaseProgressBar:
     cls = {"json": JsonProgressBar, "simple": SimpleProgressBar, "none": NoneProgressBar}.get(
         log_format, SimpleProgressBar
     )
@@ -141,4 +172,6 @@ def build_progress_bar(log_format: str = "simple", iterable=None, epoch=None,
         bar = TensorboardWrapper(bar, tensorboard_logdir)
     if wandb_project:
         bar = WandBWrapper(bar, wandb_project)
+    if azureml_logging or azureml_run is not None:
+        bar = AzureMLWrapper(bar, run=azureml_run)
     return bar

@@ -53,7 +53,13 @@ def load_image(value: Any):
     elif isinstance(value, bytes):
         img = Image.open(io.BytesIO(value))
     elif isinstance(value, str):
-        if value.startswith("/") or value.startswith("./") or value.startswith("~"):
+        if value.startswith(("http://", "https://", "oss://")):
+            # remote source through the cached_path scheme fetchers
+            # (reference default/image.py:40-82 URL/OSS branch)
+            from ofasys_tpu.utils.file_utils import cached_path
+
+            img = Image.open(cached_path(value))
+        elif value.startswith("/") or value.startswith("./") or value.startswith("~"):
             img = Image.open(value)
         else:
             try:

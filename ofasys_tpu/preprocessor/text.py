@@ -38,6 +38,7 @@ class TextPreprocessConfig(PreprocessConfig):
     bpe: str = "bytes"                 # 'gpt2' | 'bytes' | 'characters' | 'bert'
     encoder_json: Optional[str] = None
     vocab_bpe: Optional[str] = None
+    vocab_file: Optional[str] = None   # wordpiece/bert vocab.txt (local)
     max_src_length: int = 256
     max_tgt_length: int = 256
     # pad every batch to max_src/tgt_length instead of longest-in-batch:
@@ -59,6 +60,8 @@ class TextPreprocess(BasePreprocess):
         kwargs = {}
         if cfg.encoder_json:
             kwargs = {"encoder_json": cfg.encoder_json, "vocab_bpe": cfg.vocab_bpe}
+        if cfg.bpe in ("wordpiece", "bert_file", "bert", "bert_cn", "hf_bert"):
+            kwargs = {"vocab_file": cfg.vocab_file}
         self.bpe = build_tokenizer(cfg.bpe, **kwargs)
         self.text_start, self.text_end = global_dict.add_namespace("<text>", self.bpe.vocab_size)
         self.mask_idx = global_dict.add_symbol("<mask>")

@@ -140,6 +140,60 @@ class CharacterTokenizer(BaseTokenizer):
         return "".join(chr(int(i)) for i in ids)
 
 
+class WordPieceTokenizer(BaseTokenizer):
+    """Greedy longest-match WordPiece over a LOCAL vocab file (one token per
+    line, '##'-prefixed continuations) — the hermetic counterpart of the
+    reference's BertBPE for Chinese (ofasys uses hf BertTokenizer; zero-egress
+    environments point vocab_file at a local vocab.txt instead)."""
+
+    def __init__(self, vocab_file: str, unk: str = "[UNK]", lowercase: bool = True):
+        with open(vocab_file, encoding="utf-8") as f:
+            self.itos = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        self.stoi = {t: i for i, t in enumerate(self.itos)}
+        self.unk = unk
+        self.lowercase = lowercase
+        self.vocab_size = len(self.itos)
+
+    def _word(self, word):
+        ids = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in self.stoi:
+                    cur = self.stoi[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.stoi.get(self.unk, 0)]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def encode(self, text: str):
+        if self.lowercase:
+            text = text.lower()
+        out = []
+        for word in text.strip().split():
+            out.extend(self._word(word))
+        return out
+
+    def decode(self, ids):
+        toks = [self.itos[int(i)] if 0 <= int(i) < len(self.itos) else self.unk
+                for i in ids]
+        out = ""
+        for t in toks:
+            if t.startswith("##"):
+                out += t[2:]
+            else:
+                out += (" " if out else "") + t
+        return out
+
+
 def build_tokenizer(name: str, **kwargs) -> BaseTokenizer:
     if name in ("gpt2", "gpt2_bpe"):
         if "encoder_json" in kwargs and kwargs["encoder_json"]:
@@ -149,7 +203,11 @@ def build_tokenizer(name: str, **kwargs) -> BaseTokenizer:
         return ByteTokenizer()
     if name in ("characters", "char"):
         return CharacterTokenizer()
+    if name in ("wordpiece", "bert_file"):
+        return WordPieceTokenizer(kwargs["vocab_file"])
     if name in ("bert", "bert_cn", "hf_bert"):
+        if kwargs.get("vocab_file"):
+            return WordPieceTokenizer(kwargs["vocab_file"])
         from transformers import BertTokenizerFast
 
         tok = BertTokenizerFast.from_pretrained(kwargs.get("bert_name", "bert-base-uncased"))

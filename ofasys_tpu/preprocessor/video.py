@@ -23,6 +23,12 @@ from ofasys_tpu.preprocessor.instruction import Slot
 class VideoPreprocessConfig(ImagePreprocessConfig):
     num_frames: int = 8
     sample_mode: str = "uniform"    # 'uniform' | 'random' clip offsets
+    # train-time augmentation (reference utils/video/{rand_augment,
+    # random_erasing}.py): one RandAugment policy per clip (consistent
+    # across frames) + per-frame random erasing
+    video_rand_augment: bool = False
+    random_erasing_prob: float = 0.0
+    random_erasing_area: tuple = (0.02, 0.2)
 
 
 @register_config("ofasys.preprocess", "video", VideoPreprocessConfig)
@@ -71,13 +77,40 @@ class VideoPreprocess(ImagePreprocess):
             return slot
         frames = self.sample_frames(self.load_frames(slot.value), slot.split)
         size = self.cfg.patch_image_size
+        train = slot.split == "train"
+        clip_aug = None
+        if train and self.cfg.video_rand_augment:
+            from ofasys_tpu.utils.vision_helper import OPS
+
+            # one sampled policy applied to EVERY frame of the clip so the
+            # augmentation is temporally consistent
+            names = self.rng.choice(list(OPS), size=2, replace=True)
+            clip_aug = [OPS[n] for n in names]
         out = []
         for f in frames:
-            f = resize_image(f, size, self.cfg.interpolation) / 255.0
+            f = resize_image(f, size, self.cfg.interpolation)
+            if clip_aug is not None:
+                for op in clip_aug:
+                    f = op(f, 9)
+            if train and self.cfg.random_erasing_prob > 0 and \
+                    self.rng.random() < self.cfg.random_erasing_prob:
+                f = self._random_erase(f)
+            f = f / 255.0
             f = (f - np.asarray(self.cfg.mean, np.float32)) / np.asarray(self.cfg.std, np.float32)
             out.append(f.astype(np.float32))
         slot.value = {"inputs": np.stack(out)}     # (N, H, W, 3)
         return slot
+
+    def _random_erase(self, f: np.ndarray) -> np.ndarray:
+        h, w = f.shape[:2]
+        lo, hi = self.cfg.random_erasing_area
+        area = float(self.rng.uniform(lo, hi)) * h * w
+        side = max(1, int(np.sqrt(area)))
+        y = int(self.rng.integers(0, max(h - side, 1)))
+        x = int(self.rng.integers(0, max(w - side, 1)))
+        f = f.copy()
+        f[y:y + side, x:x + side] = self.rng.normal(128.0, 32.0, (min(side, h - y), min(side, w - x), f.shape[2]))
+        return f
 
     def collate(self, slots: List[Slot]) -> CollateOutput:
         videos = np.stack([s.value["inputs"] for s in slots])  # (B, N, H, W, 3)

@@ -156,7 +156,16 @@ class Task:
     def load_dataset_from_path(self, path: str, split: str = "train"):
         groups = parse_dataset_paths(path)
         files = groups[0]
-        readers = [TsvReader(f, selected_cols=self.cfg.dataset.selected_cols) for f in files]
+
+        def open_one(f):
+            if "://" in f:  # oss:// http:// ... via the scheme-fetcher cache
+                from ofasys_tpu.io.reader.object_store import ObjectStoreLineReader
+
+                return TsvReader(ObjectStoreLineReader(f),
+                                 selected_cols=self.cfg.dataset.selected_cols)
+            return TsvReader(f, selected_cols=self.cfg.dataset.selected_cols)
+
+        readers = [open_one(f) for f in files]
         reader = readers[0] if len(readers) == 1 else ConcatReader(readers)
         if split == "train":
             reader = CachedReader(reader, shuffle=True)
