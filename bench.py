@@ -134,11 +134,7 @@ def measure_tpu_multitask(model, d, batches):
         LabelSmoothedCrossEntropyCriterionConfig,
     )
     from ofasys_tpu.engine.optim import build_optimizer
-    from ofasys_tpu.engine.train_step import (
-        TrainState,
-        make_apply_step,
-        make_grad_step,
-    )
+    from ofasys_tpu.engine.train_step import TrainState
 
     crit = LabelSmoothedCrossEntropyCriterion(
         LabelSmoothedCrossEntropyCriterionConfig(), pad_id=d.pad()
@@ -149,26 +145,16 @@ def measure_tpu_multitask(model, d, batches):
     )
     state = TrainState.create(params, optimizer)
 
-    grad_fns = {
-        name: jax.jit(make_grad_step(model, crit, fold=i))
-        for i, name in enumerate(batches)
-    }
-    apply_fn = jax.jit(make_apply_step(optimizer), donate_argnums=(0,))
-    acc_fn = jax.jit(
-        lambda ag, ass, g, ss: (jax.tree.map(jax.numpy.add, ag, g), ass + ss),
-        donate_argnums=(0,),
+    from ofasys_tpu.engine.train_step import make_multitask_train_step
+
+    fused = make_multitask_train_step(
+        model, {name: crit for name in batches}, optimizer
     )
+    step = jax.jit(fused, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
     def one_update(state):
-        acc_g = acc_ss = None
-        for name, batch in batches.items():
-            g, ss, _ = grad_fns[name](state.params, state.step, batch, rng)
-            if acc_g is None:
-                acc_g, acc_ss = g, ss
-            else:
-                acc_g, acc_ss = acc_fn(acc_g, acc_ss, g, ss)
-        return apply_fn(state, acc_g, acc_ss)
+        return step(state, batches, rng)
 
     state, metrics = one_update(state)  # compile
     _ = float(metrics["gnorm"])         # force

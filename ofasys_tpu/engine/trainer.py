@@ -56,6 +56,7 @@ class Trainer:
         self._grad_fns: Dict[str, Callable] = {}
         self._apply_fn: Optional[Callable] = None
         self._acc_fn: Optional[Callable] = None
+        self._fused_fn: Optional[Callable] = None
         self._valid_fns: Dict[str, Callable] = {}
         self._sum_mode = False
         self._pending: List[Any] = []  # deferred (task, device-metrics, ntokens)
@@ -162,28 +163,22 @@ class Trainer:
         )
         ema_decay = cfg.ema.ema_decay if cfg.ema.store_ema else 0.0
         if self._sum_mode:
-            from ofasys_tpu.engine.train_step import make_apply_step, make_grad_step
-            from ofasys_tpu.parallel import (
-                make_sharded_accumulate,
-                make_sharded_apply_step,
-                make_sharded_grad_step,
-            )
+            # ONE jitted program per update: all task grads + sum + step
+            # fuse into a single dispatch (remote devices pay per-dispatch
+            # latency; the split grad/acc/apply path costs ~2k dispatches)
+            from ofasys_tpu.engine.train_step import make_multitask_train_step
+            from ofasys_tpu.parallel import make_sharded_multitask_train_step
 
-            for i, task in enumerate(tasks):
-                gfn = make_grad_step(
-                    model, task.criterion,
-                    update_freq=task.cfg.dataset.update_freq, fold=i,
-                )
-                self._grad_fns[task.name] = make_sharded_grad_step(
-                    gfn, self.mesh, self.state.params,
-                    batch_device_view(first_batch[task.name]),
-                    update_freq=task.cfg.dataset.update_freq,
-                )
-            self._apply_fn = make_sharded_apply_step(
-                make_apply_step(optimizer, ema_decay=ema_decay, lr_schedule=lr_sched),
-                self.mesh, self.state,
+            update_freqs = {t.name: t.cfg.dataset.update_freq for t in tasks}
+            fused = make_multitask_train_step(
+                model, {t.name: t.criterion for t in tasks}, optimizer,
+                update_freqs=update_freqs, ema_decay=ema_decay, lr_schedule=lr_sched,
             )
-            self._acc_fn = make_sharded_accumulate(self.mesh, self.state.params)
+            self._fused_fn = make_sharded_multitask_train_step(
+                fused, self.mesh, self.state,
+                {t.name: batch_device_view(first_batch[t.name]) for t in tasks},
+                update_freqs=update_freqs,
+            )
         else:
             for task, batch in ((t, first_batch[t.name]) for t in tasks):
                 step_fn = make_train_step(
@@ -275,22 +270,19 @@ class Trainer:
         """One update: every task contributes one batch. No host sync —
         metrics stay on device until a log/ckpt boundary."""
         if self._sum_mode:
-            acc_g = acc_ss = None
+            batches = {}
+            ntokens = {}
             for task in self.tasks:
-                batch = next(self._iterators[task.name])
-                ntokens = int(batch.get("ntokens", 0))
-                db = put_batch(batch_device_view(batch), self.mesh,
-                               update_freq=task.cfg.dataset.update_freq)
-                g, ss, logging = self._grad_fns[task.name](
-                    self.state.params, self.state.step, db, self._rng
+                b = next(self._iterators[task.name])
+                ntokens[task.name] = int(b.get("ntokens", 0))
+                batches[task.name] = put_batch(
+                    batch_device_view(b), self.mesh,
+                    update_freq=task.cfg.dataset.update_freq,
                 )
-                self._log_metrics(task.name, logging, ntokens)
-                if acc_g is None:
-                    acc_g, acc_ss = g, ss
-                else:
-                    acc_g, acc_ss = self._acc_fn(acc_g, acc_ss, g, ss)
-            self.state, metrics = self._apply_fn(self.state, acc_g, acc_ss)
-            self._log_metrics(None, metrics, 0)
+            self.state, metrics = self._fused_fn(self.state, batches, self._rng)
+            for task in self.tasks:
+                self._log_metrics(task.name, metrics["tasks"][task.name], ntokens[task.name])
+            self._log_metrics(None, {k: v for k, v in metrics.items() if k != "tasks"}, 0)
         else:
             for task in self.tasks:
                 batch = next(self._iterators[task.name])

@@ -240,7 +240,11 @@ class GeneralistModel:
 
     def __init__(self, cfg: Optional[GeneralistModelConfig] = None, arch: Optional[str] = None, **kwargs):
         if cfg is None:
-            cfg = ConfigStore().get("ofasys.model", "unify").config
+            # deep copy: apply_arch/update mutate the config in place; the
+            # store's default node must survive one model's customization
+            import copy
+
+            cfg = copy.deepcopy(ConfigStore().get("ofasys.model", "unify").config)
         self.cfg = cfg
         if arch:
             apply_arch(self.cfg, arch)

@@ -106,6 +106,32 @@ def make_sharded_apply_step(
     )
 
 
+def make_sharded_multitask_train_step(
+    train_step: Callable,
+    mesh: Mesh,
+    state_example: Any,
+    batch_examples: Any,          # dict: task name -> device-view batch
+    update_freqs=None,
+    rules=None,
+    donate: bool = True,
+):
+    """jit the fused multi-task step (engine/train_step.py
+    make_multitask_train_step): one dispatch per update."""
+    update_freqs = update_freqs or {}
+    state_sh = tree_shardings(state_example, mesh, rules)
+    batch_sh = {
+        name: _batch_shardings(b, mesh, update_freqs.get(name, 1))
+        for name, b in batch_examples.items()
+    }
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sh, batch_sh, repl),
+        out_shardings=(state_sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_sharded_accumulate(mesh: Mesh, params_example: Any, rules=None):
     """One-dispatch grad accumulator: (acc_g, acc_ss, g, ss) -> (acc_g, acc_ss).
     Donates the accumulator so cross-task accumulation is in-place on device."""

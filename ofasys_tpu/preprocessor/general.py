@@ -12,6 +12,7 @@ distinct shapes per task.
 
 from __future__ import annotations
 
+import copy
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -55,7 +56,10 @@ class GeneralPreprocess:
             names = [n.name for n in store.active_nodes("ofasys.preprocess")] or ["text"]
         for name in names:
             node = store.get("ofasys.preprocess", name)
-            self.name2pre[name] = node.target_cls(global_dict, node.config)
+            # deep copy: each task owns its preprocessors and may tune their
+            # config (e.g. trainer multi-host forces pad_to_fixed per task);
+            # sharing the store's config object would leak across tasks
+            self.name2pre[name] = node.target_cls(global_dict, copy.deepcopy(node.config))
 
     # ------------------------------------------------------------- helpers
     @property
@@ -66,7 +70,7 @@ class GeneralPreprocess:
         name = slot.get_attr("preprocess") or slot.preprocess or DEFAULT_PREPROCESS[slot.modality]
         if name not in self.name2pre:
             node = ConfigStore().get("ofasys.preprocess", name)
-            self.name2pre[name] = node.target_cls(self.global_dict, node.config)
+            self.name2pre[name] = node.target_cls(self.global_dict, copy.deepcopy(node.config))
         return self.name2pre[name]
 
     def group_key(self, slot: Slot):

@@ -10,6 +10,7 @@ the task only *configures* them.
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import random
 from dataclasses import dataclass, field
@@ -69,8 +70,12 @@ class Task:
     def __init__(self, cfg: Optional[TaskConfig] = None, name: Optional[str] = None,
                  instruction: Optional[str] = None, **kwargs):
         if cfg is None:
-            cfg = dataclasses.replace(ConfigStore().get("ofasys.task", self.registry_name
-                                                        if hasattr(self, "registry_name") else "default").config)
+            # deep copy: dataclasses.replace is SHALLOW — nested configs
+            # (instruction/dataset/generation) would be SHARED across every
+            # Task built from the same store node, so one task's
+            # `instruction=` would silently rewrite all the others' templates
+            cfg = copy.deepcopy(ConfigStore().get("ofasys.task", self.registry_name
+                                                  if hasattr(self, "registry_name") else "default").config)
         self.cfg = cfg
         if name:
             self.cfg.name = name
@@ -131,14 +136,16 @@ class Task:
 
         store = ConfigStore()
         crit_node = store.get("ofasys.criterion", self.cfg.criterion)
-        self.criterion = crit_node.target_cls(crit_node.config, pad_id=global_dict.pad())
+        self.criterion = crit_node.target_cls(
+            copy.deepcopy(crit_node.config), pad_id=global_dict.pad()
+        )
         # criteria that project onto sub-vocabs (speech_pretrain MAM) need
         # the dictionary's namespace ranges
         self.criterion.global_dict = global_dict
         self.metrics = []
         for mname in self.cfg.evaluation.metrics:
             node = store.get("ofasys.metric", mname)
-            self.metrics.append(node.target_cls(node.config))
+            self.metrics.append(node.target_cls(copy.deepcopy(node.config)))
         self.global_dict = global_dict
         return self
 

@@ -95,3 +95,47 @@ def test_tuple_coercion_from_string():
     cfg = TrainerConfig()
     cfg.update(**{"optimization.adam_betas": "0.9,0.98"})
     assert cfg.optimization.adam_betas == (0.9, 0.98)
+
+
+def test_task_configs_are_isolated_per_instance():
+    """Regression: Task() used dataclasses.replace (SHALLOW) on the store's
+    default config, so two tasks shared nested InstructionConfig — the second
+    task's `instruction=` silently rewrote the first's template (both tasks
+    then trained on identical batches)."""
+    from ofasys_tpu.task.base import Task
+
+    t1 = Task(name="a", instruction="[TEXT:src] -> [TEXT:tgt]")
+    t2 = Task(name="b", instruction="[TEXT:src] translate -> [TEXT:tgt]")
+    assert t1.cfg.instruction.template == "[TEXT:src] -> [TEXT:tgt]"
+    assert t2.cfg.instruction.template == "[TEXT:src] translate -> [TEXT:tgt]"
+    t1.cfg.dataset.batch_size = 4
+    assert t2.cfg.dataset.batch_size != 4 or t2.cfg.dataset is not t1.cfg.dataset
+    # store default untouched
+    from ofasys_tpu.configure import ConfigStore
+    assert ConfigStore().get("ofasys.task", "default").config.instruction.template == ""
+
+
+def test_model_config_isolated_from_store():
+    """GeneralistModel(arch=...) must not mutate the store's default model
+    config (apply_arch/update mutate in place)."""
+    from ofasys_tpu.configure import ConfigStore
+    from ofasys_tpu.model.ofa import GeneralistModel
+
+    default_dropout = ConfigStore().get("ofasys.model", "unify").config.dropout
+    m = GeneralistModel(arch="tiny")
+    m.cfg.dropout = 0.987
+    assert ConfigStore().get("ofasys.model", "unify").config.dropout == default_dropout
+    m2 = GeneralistModel(arch="tiny")
+    assert m2.cfg.dropout != 0.987
+
+
+def test_preprocessor_configs_isolated_per_task():
+    """Each GeneralPreprocess owns deep copies of preprocessor configs —
+    per-task tuning (e.g. multi-host pad_to_fixed) must not leak."""
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.preprocessor.general import GeneralPreprocess
+
+    d = Dictionary()
+    g1 = GeneralPreprocess(d, active=["text"])
+    g2 = GeneralPreprocess(d, active=["text"])
+    assert g1.name2pre["text"].cfg is not g2.name2pre["text"].cfg

@@ -126,6 +126,32 @@ def test_two_task_sum_equals_concatenated_batch():
         )
 
 
+def test_fused_multitask_step_equals_split_composition():
+    """make_multitask_train_step (ONE jitted dispatch) == per-task grad +
+    host accumulate + apply (the split path it replaces)."""
+    from ofasys_tpu.engine.train_step import make_multitask_train_step
+
+    model, d, crit, params, make_batch = _model_and_batches()
+    opt = build_optimizer(OptimizationConfig(lr=(1e-3,), warmup_updates=1), total_num_update=10)
+    batches = {"a": make_batch(4, 1), "b": make_batch(4, 2)}
+    rng = jax.random.PRNGKey(11)
+
+    fused = jax.jit(make_multitask_train_step(model, {"a": crit, "b": crit}, opt))
+    s1, m1 = fused(TrainState.create(params, opt), batches, rng)
+
+    s0 = TrainState.create(params, opt)
+    ga, ssa, la = jax.jit(make_grad_step(model, crit, fold=0))(s0.params, s0.step, batches["a"], rng)
+    gb, ssb, lb = jax.jit(make_grad_step(model, crit, fold=1))(s0.params, s0.step, batches["b"], rng)
+    g = jax.tree.map(jnp.add, ga, gb)
+    s2, m2 = jax.jit(make_apply_step(opt))(s0, g, ssa + ssb)
+
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x, np.float32), np.asarray(y, np.float32), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["gnorm"]), float(m2["gnorm"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["tasks"]["a"]["loss"]), float(la["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["tasks"]["b"]["loss"]), float(lb["loss"]), rtol=1e-6)
+
+
 def _text_records(n=32, seed=0):
     words = ["red", "blue", "green", "bird", "dog", "cat", "sky", "tree"]
     rng = np.random.default_rng(seed)

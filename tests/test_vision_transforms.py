@@ -74,8 +74,10 @@ def test_box_instruction_map_joint_transform():
 
     try:
         d = Dictionary()
-        g = GeneralPreprocess(d, active=["text", "image", "box"])
+        # configure BEFORE construction: each GeneralPreprocess deep-copies
+        # the store configs (post-hoc store mutation no longer leaks in)
         ConfigStore().get("ofasys.preprocess", "image").config.patch_image_size = 32
+        g = GeneralPreprocess(d, active=["text", "image", "box"])
         rng = np.random.default_rng(0)
         img = (rng.random((64, 64, 3)) * 255).astype(np.float32)
         ist = Instruction(
