@@ -64,6 +64,7 @@ class ParallelConfig(BaseDataclass):
     tensor: int = 1      # tensor/model parallelism (Megatron analogue)
     expert: int = 1      # MoE expert-parallel axis
     sequence: int = 1    # context/sequence parallelism (beyond-reference)
+    pipeline: int = 1    # GPipe pipeline stages (parallel/pipeline.py)
     # remat ('none'|'selective'|'full') — jax.checkpoint policy for layers
     remat: str = "selective"
     # shard optimizer state along fsdp axis even when fsdp==1 & data>1 (ZeRO-1)

@@ -103,7 +103,13 @@ class Trainer:
                 if a not in adaptors:
                     adaptors.append(a)
         dtype = jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
-        model.initialize(global_dict, active_adaptors=tuple(adaptors), dtype=dtype)
+        # mesh first: pipeline parallelism needs it inside the model
+        self.mesh = build_mesh(cfg.parallel)
+        if cfg.parallel.pipeline > 1:
+            model.cfg.pipeline_stages = cfg.parallel.pipeline
+            model.cfg.scan_layers = True
+        model.initialize(global_dict, active_adaptors=tuple(adaptors), dtype=dtype,
+                         mesh=self.mesh if model.cfg.pipeline_stages > 1 else None)
 
         # multi-host: adopt the jax process topology for data sharding
         # (reference distributed_init rank/world, distributed/utils.py:210)
@@ -121,8 +127,7 @@ class Trainer:
                         pre.cfg.pad_to_fixed = True
             logger.info("multi-host: fixed-length batch padding enabled")
 
-        # 3) mesh + optimizer
-        self.mesh = build_mesh(cfg.parallel)
+        # 3) optimizer (mesh built above, before model init)
         dp_size = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
         for task in tasks:
             # batch_size is per host process (reference per-rank semantics);

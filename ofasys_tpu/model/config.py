@@ -64,6 +64,10 @@ class GeneralistModelConfig(BaseDataclass):
     use_flash_attention: bool = True   # Pallas kernel when on TPU and shapes allow
     remat: str = "none"                # 'none' | 'full' — per-layer jax.checkpoint
     scan_layers: bool = False          # lax.scan over stacked layer params
+    # GPipe pipeline over the 'pipe' mesh axis (parallel/pipeline.py);
+    # requires scan_layers (stacked layout) and layers %% stages == 0
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0     # 0 -> = pipeline_stages
 
     def __post_init__(self):
         # apply the arch preset only when the stacks are untouched defaults —

@@ -56,6 +56,7 @@ class GeneralistNet(nn.Module):
     pad_id: int
     active_adaptors: Tuple[str, ...]
     dtype: Any = jnp.bfloat16
+    mesh: Any = None           # device mesh; needed when pipeline_stages > 1
 
     def setup(self):
         cfg = self.cfg
@@ -73,8 +74,8 @@ class GeneralistNet(nn.Module):
             cfg, False, self.embed_tokens, self.active_adaptors, self.pad_id,
             dtype=self.dtype, name="decoder_adaptor",
         )
-        self.encoder = TransformerEncoder(cfg, dtype=self.dtype, name="encoder")
-        self.decoder = TransformerDecoder(cfg, dtype=self.dtype, name="decoder")
+        self.encoder = TransformerEncoder(cfg, dtype=self.dtype, mesh=self.mesh, name="encoder")
+        self.decoder = TransformerDecoder(cfg, dtype=self.dtype, mesh=self.mesh, name="decoder")
         if cfg.use_self_attn_bias:
             # cross-attention absolute-position bias (reference
             # model/transformer.py:239-299), shared across decoder layers
@@ -254,16 +255,21 @@ class GeneralistModel:
         self.global_dict = None
 
     # ------------------------------------------------------------ lifecycle
-    def initialize(self, global_dict, active_adaptors: Tuple[str, ...] = ("text",), dtype=jnp.bfloat16):
+    def initialize(self, global_dict, active_adaptors: Tuple[str, ...] = ("text",), dtype=jnp.bfloat16,
+                   mesh=None):
         """Build the flax module once the vocab is final
-        (reference model/ofa.py:349-377)."""
+        (reference model/ofa.py:349-377). ``mesh`` is only needed for
+        pipeline parallelism (cfg.pipeline_stages > 1)."""
         self.global_dict = global_dict
+        if self.cfg.pipeline_stages > 1 and not self.cfg.scan_layers:
+            raise ValueError("pipeline_stages > 1 requires scan_layers=True (stacked layer params)")
         self.net = GeneralistNet(
             cfg=self.cfg,
             vocab_size=len(global_dict),
             pad_id=global_dict.pad(),
             active_adaptors=tuple(active_adaptors),
             dtype=dtype,
+            mesh=mesh,
         )
         return self
 

@@ -490,6 +490,7 @@ class TransformerEncoder(nn.Module):
 
     cfg: GeneralistModelConfig
     dtype: Any = jnp.bfloat16
+    mesh: Any = None           # required when cfg.pipeline_stages > 1
 
     @nn.compact
     def __call__(
@@ -504,7 +505,49 @@ class TransformerEncoder(nn.Module):
         attn_mask = padding_mask[:, None, None, :]  # keys masked; queries padded rows are garbage-but-masked downstream
         n_layers = cfg.encoder.layers
         dpr = np.linspace(0.0, cfg.encode_drop_path_rate, n_layers)
-        if cfg.scan_layers:
+        if cfg.pipeline_stages > 1 and cfg.scan_layers and not self.is_initializing():
+            # GPipe over the 'pipe' mesh axis (parallel/pipeline.py): the
+            # stacked layers_scan params are stage-sharded; microbatches
+            # stream through stages via ppermute. Init still runs the plain
+            # nn.scan path (identical param layout / checkpoints).
+            from ofasys_tpu.parallel.pipeline import pipeline_stack
+
+            if self.mesh is None:
+                raise ValueError(
+                    "pipeline_stages > 1 requires the device mesh: "
+                    "model.initialize(..., mesh=mesh)"
+                )
+            tables = bias_spec.tables if bias_spec is not None else None
+            bucket = (jnp.asarray(bias_spec.bucket)
+                      if bias_spec is not None and bias_spec.bucket is not None else None)
+            abs_bias = bias_spec.abs_bias if bias_spec is not None else None
+            stacked = self.variables["params"]["layers_scan"]["layer"]
+            layer_mod = TransformerEncoderLayer(cfg, 0.0, dtype=self.dtype)
+            rng = (self.make_rng("dropout")
+                   if not deterministic and self.has_rng("dropout") else None)
+            dpr_arr = jnp.asarray(dpr, jnp.float32)
+            spans = modal_spans
+
+            def layer_apply(lp, gi, m, x_mb, mm, bcast):
+                tb, bk, ab, dpr_a, key = bcast
+                bias = _traced_layer_bias(tb, bk, ab, gi)
+                rngs = None
+                if key is not None:
+                    rngs = {"dropout": jax.random.fold_in(jax.random.fold_in(key, gi), m)}
+                return layer_mod.apply(
+                    {"params": lp}, x_mb, mm, bias, deterministic, spans,
+                    dpr_a[gi], rngs=rngs,
+                )
+
+            if cfg.remat == "full":
+                layer_apply = jax.checkpoint(layer_apply)
+            x = pipeline_stack(
+                self.mesh, layer_apply, stacked, x,
+                micro_args=attn_mask,
+                bcast_args=(tables, bucket, abs_bias, dpr_arr, rng),
+                n_micro=cfg.pipeline_microbatches or cfg.pipeline_stages,
+            )
+        elif cfg.scan_layers:
             tables = bias_spec.tables if bias_spec is not None else None
             bucket = (jnp.asarray(bias_spec.bucket)
                       if bias_spec is not None and bias_spec.bucket is not None else None)
@@ -539,6 +582,7 @@ class TransformerDecoder(nn.Module):
 
     cfg: GeneralistModelConfig
     dtype: Any = jnp.bfloat16
+    mesh: Any = None           # required when cfg.pipeline_stages > 1
 
     @nn.compact
     def __call__(
@@ -576,7 +620,62 @@ class TransformerDecoder(nn.Module):
         n_layers = cfg.decoder.layers
         dpr = np.linspace(0.0, cfg.decode_drop_path_rate, n_layers)
         new_cache: Dict[str, Any] = {} if cache is not None else None
-        if cfg.scan_layers and cache is None:
+        if (cfg.pipeline_stages > 1 and cfg.scan_layers and cache is None
+                and not self.is_initializing()):
+            # GPipe training path (see encoder); incremental decode keeps the
+            # sliced-stacked-params loop below
+            from ofasys_tpu.parallel.pipeline import pipeline_stack
+
+            if self.mesh is None:
+                raise ValueError(
+                    "pipeline_stages > 1 requires the device mesh: "
+                    "model.initialize(..., mesh=mesh)"
+                )
+            spec = self_bias_spec
+            tables = spec.tables if spec is not None else None
+            bucket = (jnp.asarray(spec.bucket)
+                      if spec is not None and spec.bucket is not None else None)
+            abs_bias = spec.abs_bias if spec is not None else None
+            stacked = self.variables["params"]["layers_scan"]["layer"]
+            layer_mod = TransformerDecoderLayer(cfg, 0.0, dtype=self.dtype)
+            rng = (self.make_rng("dropout")
+                   if not deterministic and self.has_rng("dropout") else None)
+            dpr_arr = jnp.asarray(dpr, jnp.float32)
+            spans = modal_spans
+            fc = full_context
+            B = x.shape[0]
+            # batch-major side inputs stream with the microbatches; batch-1
+            # (shared) ones broadcast to every stage
+            micro: Dict[str, jax.Array] = {}
+            shared: Dict[str, jax.Array] = {}
+            for k, v in (("eo", encoder_out), ("sm", self_mask),
+                         ("cm", cross_mask), ("cb", cross_bias)):
+                if v is not None:
+                    (micro if v.shape[0] == B else shared)[k] = v
+
+            def layer_apply(lp, gi, m, x_mb, mm, bcast):
+                tb, bk, ab, dpr_a, key, sh = bcast
+                a = {**sh, **mm}
+                self_bias = _traced_layer_bias(tb, bk, ab, gi)
+                rngs = None
+                if key is not None:
+                    rngs = {"dropout": jax.random.fold_in(jax.random.fold_in(key, gi), m)}
+                y, _ = layer_mod.apply(
+                    {"params": lp}, x_mb, a.get("eo"), a.get("sm"), self_bias,
+                    a.get("cm"), a.get("cb"), deterministic, None, spans, fc,
+                    dpr_a[gi], rngs=rngs,
+                )
+                return y
+
+            if cfg.remat == "full":
+                layer_apply = jax.checkpoint(layer_apply)
+            x = pipeline_stack(
+                self.mesh, layer_apply, stacked, x,
+                micro_args=micro,
+                bcast_args=(tables, bucket, abs_bias, dpr_arr, rng, shared),
+                n_micro=cfg.pipeline_microbatches or cfg.pipeline_stages,
+            )
+        elif cfg.scan_layers and cache is None:
             spec = self_bias_spec
             tables = spec.tables if spec is not None else None
             bucket = (jnp.asarray(spec.bucket)

@@ -7,6 +7,7 @@ from ofasys_tpu.parallel.api import (
     make_sharded_train_step,
     put_batch,
 )
+from ofasys_tpu.parallel.pipeline import pipeline_stack
 from ofasys_tpu.parallel.sharding import DEFAULT_RULES, shard_tree, tree_shardings
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "make_sharded_train_step", "make_sharded_grad_step", "make_sharded_apply_step",
     "make_sharded_multitask_train_step",
     "make_sharded_accumulate", "put_batch", "DEFAULT_RULES", "tree_shardings", "shard_tree",
+    "pipeline_stack",
 ]

@@ -12,6 +12,8 @@ with a single jax.sharding.Mesh. Axes:
   sequence — context parallelism for long sequences (absent upstream;
              SURVEY §5 calls it out as the beyond-reference capability)
   expert   — MoE expert parallelism (reference module/base_layer.py)
+  pipe     — GPipe pipeline stages (parallel/pipeline.py; the reference
+             shipped config scaffolding only, configure/configs.py:306-351)
 
 Multi-host: call jax.distributed.initialize() before build_mesh (the
 reference's distributed_init, distributed/utils.py:210).
@@ -27,14 +29,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ofasys_tpu.configure.configs import ParallelConfig
 
-MESH_AXES = ("data", "fsdp", "tensor", "sequence", "expert")
+MESH_AXES = ("data", "fsdp", "tensor", "sequence", "expert", "pipe")
 
 # logical batch axes: batch is sharded over every data-like axis
 BATCH_AXES = ("data", "fsdp")
 
 
-def resolve_axis_sizes(cfg: ParallelConfig, n_devices: int) -> Tuple[int, int, int, int, int]:
-    sizes = [cfg.data, cfg.fsdp, cfg.tensor, cfg.sequence, cfg.expert]
+def resolve_axis_sizes(cfg: ParallelConfig, n_devices: int) -> Tuple[int, ...]:
+    sizes = [cfg.data, cfg.fsdp, cfg.tensor, cfg.sequence, cfg.expert, cfg.pipeline]
     n_auto = sum(1 for s in sizes if s == -1)
     if n_auto > 1:
         raise ValueError("at most one mesh axis may be -1")

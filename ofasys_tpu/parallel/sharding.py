@@ -92,8 +92,10 @@ def tree_shardings(tree: Any, mesh: Mesh, rules=None, log_unmatched: bool = Fals
         spec = spec_for_path(p, rules)
         if "layers_scan" in p and ndim > 0:
             # scan-over-layers stacks params with a leading layer axis:
-            # keep it unsharded, shift the rule's axes right by one
-            spec = P(None, *spec)
+            # shard it over the pipeline axis (size-1 'pipe' == replicated)
+            # and shift the rule's axes right by one
+            pipe = "pipe" if "pipe" in mesh.shape else None
+            spec = P(pipe, *spec)
             if len(list(spec)) > ndim:
                 spec = P(*list(spec)[:ndim])
         spec = _fit_spec(spec, ndim)

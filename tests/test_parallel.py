@@ -18,16 +18,18 @@ from test_train_step import copy_batch, tiny_model
 
 
 def test_resolve_axis_sizes():
-    assert resolve_axis_sizes(ParallelConfig(), 8) == (8, 1, 1, 1, 1)
-    assert resolve_axis_sizes(ParallelConfig(data=2, fsdp=2, tensor=2), 8) == (2, 2, 2, 1, 1)
-    assert resolve_axis_sizes(ParallelConfig(data=-1, tensor=2), 8) == (4, 1, 2, 1, 1)
+    assert resolve_axis_sizes(ParallelConfig(), 8) == (8, 1, 1, 1, 1, 1)
+    assert resolve_axis_sizes(ParallelConfig(data=2, fsdp=2, tensor=2), 8) == (2, 2, 2, 1, 1, 1)
+    assert resolve_axis_sizes(ParallelConfig(data=-1, tensor=2), 8) == (4, 1, 2, 1, 1, 1)
+    assert resolve_axis_sizes(ParallelConfig(data=-1, pipeline=2), 8) == (4, 1, 1, 1, 1, 2)
     with pytest.raises(ValueError):
         resolve_axis_sizes(ParallelConfig(data=3), 8)
 
 
 def test_mesh_axes():
     mesh = build_mesh(ParallelConfig(data=2, fsdp=2, tensor=2))
-    assert mesh.shape == {"data": 2, "fsdp": 2, "tensor": 2, "sequence": 1, "expert": 1}
+    assert mesh.shape == {"data": 2, "fsdp": 2, "tensor": 2, "sequence": 1,
+                          "expert": 1, "pipe": 1}
 
 
 @pytest.mark.parametrize("pcfg", [
