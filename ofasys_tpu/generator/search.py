@@ -382,3 +382,350 @@ def trie_advance(ct: CompiledTrie, states: jax.Array, tokens: jax.Array) -> jax.
         ct.dense_next[jnp.maximum(di, 0)], tokens[:, None], axis=1
     )[:, 0]
     return jnp.where(di >= 0, dense_next, sparse_next)
+
+
+# --------------------------------------------------------------------------
+# Reference-faithful lexical-constraint state machines (reference
+# token_generation_constraints.py: OrderedConstraintState :382-498 and
+# UnorderedConstraintState :197-353). The reference keeps one python object
+# per beam and advances it on the host every step; here each machine is
+# (a) a pytree of static tables passed into the jitted decode loop and
+# (b) per-beam state arrays carried through the while_loop, so the whole
+# beam advances in one vectorized dispatch.
+#
+# Three representations:
+#   "pointer"   — per-constraint progress pointers (TPU-simple; the DBA
+#                 bank/protection semantics, not a reference port)
+#   "ordered"   — constraints must appear in the given order: a single
+#                 pointer into the flattened constraint sequence
+#   "unordered" — constraints in any order via a per-sample trie with
+#                 generated/completed counters and subtree saturation,
+#                 exactly the reference's bookkeeping
+# --------------------------------------------------------------------------
+
+import dataclasses
+
+
+def state_take(state, idx: jax.Array):
+    """Reorder per-beam constraint state rows by flat indices."""
+    return jax.tree.map(lambda a: a[idx], state)
+
+
+def _rows_to_sample(n_rows: int, batch: int) -> jax.Array:
+    """Row -> sample index for (B, k)-grouped flattened rows."""
+    return jnp.arange(n_rows) // (n_rows // batch)
+
+
+class OrderedConstraints(NamedTuple):
+    """Flattened constraint sequence per sample (reference
+    ConstraintSequence, token_generation_constraints.py:356-379)."""
+
+    seq: jax.Array        # (B, L) int32 tokens, -1 padded
+    endpoints: jax.Array  # (B, L) bool: position ends a constraint
+    total: jax.Array      # (B,) int32 total constraint tokens
+
+    @staticmethod
+    def build(batch_constraints) -> Tuple["OrderedConstraints", int]:
+        import numpy as np
+
+        B = len(batch_constraints)
+        L = max((sum(len(s) for s in c) for c in batch_constraints), default=1) or 1
+        seq = np.full((B, L), -1, np.int32)
+        ends = np.zeros((B, L), bool)
+        total = np.zeros((B,), np.int32)
+        for b, cons in enumerate(batch_constraints):
+            pos = 0
+            for s in cons:
+                seq[b, pos : pos + len(s)] = np.asarray(s, np.int32)
+                ends[b, pos + len(s) - 1] = True
+                pos += len(s)
+            total[b] = pos
+        return (
+            OrderedConstraints(jnp.asarray(seq), jnp.asarray(ends), jnp.asarray(total)),
+            int(total.max()),
+        )
+
+
+def ord_advance(oc: OrderedConstraints, ptr: jax.Array, tokens: jax.Array,
+                batch: int) -> jax.Array:
+    """Reference OrderedConstraintState.advance (:456-498): finished -> stay;
+    next-token match -> +1; at a constraint endpoint (incl. root, which
+    mirrors the reference's endpoints[-1] lookup) -> stay; first token ->
+    restart at 0; else -> root (-1)."""
+    M = ptr.shape[0]
+    b = _rows_to_sample(M, batch)
+    L = oc.seq.shape[1]
+    tot = oc.total[b]
+    fin = ptr + 1 >= tot
+    nxt = oc.seq[b, jnp.clip(ptr + 1, 0, L - 1)]
+    match = ~fin & (tokens == nxt)
+    cur_ep = jnp.where(ptr < 0, True, oc.endpoints[b, jnp.clip(ptr, 0, L - 1)])
+    first = oc.seq[b, 0]
+    return jnp.where(
+        fin, ptr,
+        jnp.where(match, ptr + 1,
+                  jnp.where(cur_ep, ptr,
+                            jnp.where(tokens == first, 0, -1))),
+    ).astype(jnp.int32)
+
+
+class UnorderedTrieConstraints(NamedTuple):
+    """Per-sample constraint tries, padded to a common (S, Km) shape
+    (reference ConstraintNode, token_generation_constraints.py:106-194).
+    Node 0 is the root."""
+
+    ctok: jax.Array      # (B, S, Km) child token ids, -1 padded
+    cnxt: jax.Array      # (B, S, Km) child node ids
+    parent: jax.Array    # (B, S) parent node id (root -> 0)
+    terminal: jax.Array  # (B, S) #constraints ending exactly here
+    subtree: jax.Array   # (B, S) #constraints in the subtree (num_constraints)
+    n_cons: jax.Array    # (B,) #constraints of the sample
+
+    @staticmethod
+    def build(batch_constraints) -> Tuple["UnorderedTrieConstraints", int, int, int]:
+        """Returns (tables, max_bank, depth, Km) — the last three are static."""
+        import numpy as np
+
+        B = len(batch_constraints)
+        tries = []
+        for cons in batch_constraints:
+            # node: [children {tok: id}, parent, terminal, subtree, depth]
+            nodes = [{"ch": {}, "par": 0, "term": 0, "sub": 0, "d": 0}]
+            for s in cons:
+                cur = 0
+                for t in s:
+                    t = int(t)
+                    if t not in nodes[cur]["ch"]:
+                        nodes.append({"ch": {}, "par": cur, "term": 0, "sub": 0,
+                                      "d": nodes[cur]["d"] + 1})
+                        nodes[cur]["ch"][t] = len(nodes) - 1
+                    cur = nodes[cur]["ch"][t]
+                nodes[cur]["term"] += 1
+                while True:  # num_constraints along the path incl. root
+                    nodes[cur]["sub"] += 1
+                    if cur == 0:
+                        break
+                    cur = nodes[cur]["par"]
+            tries.append(nodes)
+
+        S = max(len(n) for n in tries)
+        Km = max((len(nd["ch"]) for n in tries for nd in n), default=1) or 1
+        depth = max((nd["d"] for n in tries for nd in n), default=1) or 1
+        ctok = np.full((B, S, Km), -1, np.int32)
+        cnxt = np.zeros((B, S, Km), np.int32)
+        parent = np.zeros((B, S), np.int32)
+        terminal = np.zeros((B, S), np.int32)
+        subtree = np.zeros((B, S), np.int32)
+        n_cons = np.zeros((B,), np.int32)
+        for b, nodes in enumerate(tries):
+            n_cons[b] = len(batch_constraints[b])
+            for i, nd in enumerate(nodes):
+                parent[b, i] = nd["par"]
+                terminal[b, i] = nd["term"]
+                subtree[b, i] = nd["sub"]
+                for j, (t, c) in enumerate(sorted(nd["ch"].items())):
+                    ctok[b, i, j] = t
+                    cnxt[b, i, j] = c
+        max_bank = int(max((sum(len(s) for s in c) for c in batch_constraints),
+                           default=0))
+        return (
+            UnorderedTrieConstraints(
+                jnp.asarray(ctok), jnp.asarray(cnxt), jnp.asarray(parent),
+                jnp.asarray(terminal), jnp.asarray(subtree), jnp.asarray(n_cons),
+            ),
+            max_bank, depth, Km,
+        )
+
+
+class UnorderedTrieState(NamedTuple):
+    node: jax.Array   # (M,) int32 current trie node
+    gen: jax.Array    # (M, S) int32 generated count per node
+    comp: jax.Array   # (M, S) int32 completed count per node
+
+
+def unord_init(ut: UnorderedTrieConstraints, n_rows: int) -> UnorderedTrieState:
+    S = ut.parent.shape[1]
+    return UnorderedTrieState(
+        node=jnp.zeros((n_rows,), jnp.int32),
+        gen=jnp.zeros((n_rows, S), jnp.int32),
+        comp=jnp.zeros((n_rows, S), jnp.int32),
+    )
+
+
+def unord_advance(ut: UnorderedTrieConstraints, st: UnorderedTrieState,
+                  tokens: jax.Array, batch: int, depth: int) -> UnorderedTrieState:
+    """Reference UnorderedConstraintState.advance (:293-353), vectorized:
+    (1) matching, non-saturated child -> descend (generated[child] += 1);
+    (2) otherwise fall off: take the matching root child if unsaturated,
+        else the root, and rewind the abandoned path — the first ancestor
+        that is an uncompleted terminal gets completed[a] += 1 (stop),
+        every ancestor before it gets generated[a] -= 1."""
+    M = tokens.shape[0]
+    rows = jnp.arange(M)
+    b = _rows_to_sample(M, batch)
+    cur, gen, comp = st.node, st.gen, st.comp
+
+    ct = ut.ctok[b, cur]                                   # (M, Km)
+    match = (ct == tokens[:, None]) & (ct >= 0)
+    has_child = match.any(axis=1)
+    child = ut.cnxt[b, cur, jnp.argmax(match, axis=1)]
+    child_ok = has_child & (gen[rows, child] < ut.subtree[b, child])
+
+    rt = ut.ctok[b, 0]
+    rmatch = (rt == tokens[:, None]) & (rt >= 0)
+    has_root = rmatch.any(axis=1)
+    rchild = ut.cnxt[b, 0, jnp.argmax(rmatch, axis=1)]
+    root_ok = has_root & (gen[rows, rchild] < ut.subtree[b, rchild])
+
+    new_node = jnp.where(child_ok, child, jnp.where(root_ok, rchild, 0))
+    falls = ~child_ok
+
+    def rewind(i, carry):
+        c, gen, comp, stopped = carry
+        active = falls & (c != 0) & ~stopped
+        can_complete = ut.terminal[b, c] > comp[rows, c]
+        do_complete = active & can_complete
+        comp = comp.at[rows, c].add(do_complete.astype(jnp.int32))
+        do_decr = active & ~can_complete
+        gen = gen.at[rows, c].add(-do_decr.astype(jnp.int32))
+        c = jnp.where(do_decr, ut.parent[b, c], c)
+        return c, gen, comp, stopped | do_complete
+
+    _, gen, comp, _ = jax.lax.fori_loop(
+        0, depth, rewind, (cur, gen, comp, jnp.zeros((M,), bool))
+    )
+    gen = gen.at[rows, new_node].add((new_node != 0).astype(jnp.int32))
+    return UnorderedTrieState(new_node, gen, comp)
+
+
+def unord_num_completed(ut: UnorderedTrieConstraints, st: UnorderedTrieState,
+                        batch: int) -> jax.Array:
+    """Completed constraints incl. the in-final current node (:256-264)."""
+    M = st.node.shape[0]
+    rows = jnp.arange(M)
+    b = _rows_to_sample(M, batch)
+    in_final = (ut.terminal[b, st.node] > st.comp[rows, st.node]) & (st.node != 0)
+    return st.comp.sum(axis=1) + in_final.astype(jnp.int32)
+
+
+# ------------------------------- machines (static strategy over the tables)
+
+@dataclasses.dataclass(frozen=True)
+class PointerMachine:
+    """The original per-constraint-pointer tracker (lex_* family above)."""
+
+    batch: int
+    max_bank: int
+
+    def init(self, t: LexicalConstraints, n_rows: int):
+        return jnp.zeros((n_rows, t.lengths.shape[1]), jnp.int32)
+
+    def advance(self, t, ptr, tokens):
+        return lex_advance(t, ptr, tokens, ptr.shape[0] // self.batch)
+
+    def bank(self, t, ptr):
+        return lex_bank(t, ptr, ptr.shape[0] // self.batch)
+
+    def met(self, t, ptr):
+        b = _rows_to_sample(ptr.shape[0], self.batch)
+        return self.bank(t, ptr) >= t.lengths.sum(axis=1)[b]
+
+    def extension(self, t, ptr, lp, alive_lp):
+        return lex_candidate_extension(t, ptr, lp, alive_lp, lp.shape[1])
+
+
+@dataclasses.dataclass(frozen=True)
+class OrderedMachine:
+    batch: int
+    max_bank: int
+
+    def init(self, t: OrderedConstraints, n_rows: int):
+        return jnp.full((n_rows,), -1, jnp.int32)
+
+    def advance(self, t, ptr, tokens):
+        return ord_advance(t, ptr, tokens, self.batch)
+
+    def bank(self, t, ptr):
+        return ptr + 1
+
+    def met(self, t, ptr):
+        b = _rows_to_sample(ptr.shape[0], self.batch)
+        return ptr + 1 >= t.total[b]
+
+    def extension(self, t, ptr, lp, alive_lp):
+        """Two advancing candidates per beam: the next expected token and,
+        for mid-sequence states (reference next_tokens :443-454), the
+        restart token seq[0]."""
+        B, K, V = lp.shape
+        L = t.seq.shape[1]
+        b = _rows_to_sample(ptr.shape[0], self.batch)
+        fin = ptr + 1 >= t.total[b]
+        nxt = t.seq[b, jnp.clip(ptr + 1, 0, L - 1)]
+        first = t.seq[b, 0]
+        toks = jnp.stack([jnp.where(fin, 0, jnp.maximum(nxt, 0)),
+                          jnp.maximum(first, 0)], axis=1).reshape(B, K * 2)
+        valid = jnp.stack([~fin, (ptr > 0) & (t.total[b] > 0)], axis=1)
+        s = jnp.take_along_axis(
+            lp, toks.reshape(B, K, 2), axis=2
+        ) + alive_lp[:, :, None]
+        s = jnp.where(valid.reshape(B, K, 2), s, NEG_INF).reshape(B, K * 2)
+        beams = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, 2))
+        return s, toks, beams.reshape(B, K * 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class UnorderedMachine:
+    batch: int
+    max_bank: int
+    depth: int
+    fanout: int
+
+    def init(self, t: UnorderedTrieConstraints, n_rows: int):
+        return unord_init(t, n_rows)
+
+    def advance(self, t, st, tokens):
+        return unord_advance(t, st, tokens, self.batch, self.depth)
+
+    def bank(self, t, st):
+        return st.gen.sum(axis=1)
+
+    def met(self, t, st):
+        b = _rows_to_sample(st.node.shape[0], self.batch)
+        return unord_num_completed(t, st, self.batch) >= t.n_cons[b]
+
+    def extension(self, t, st, lp, alive_lp):
+        """Advancing candidates per beam: children of the current node plus
+        children of the root (reference next_tokens :282-291), saturated
+        subtrees excluded; root duplicates of node children are dropped."""
+        B, K, V = lp.shape
+        M = st.node.shape[0]
+        rows = jnp.arange(M)
+        b = _rows_to_sample(M, self.batch)
+        Km = self.fanout
+        toks = jnp.concatenate([t.ctok[b, st.node], t.ctok[b, 0]], axis=1)  # (M, 2Km)
+        nodes = jnp.concatenate([t.cnxt[b, st.node], t.cnxt[b, 0]], axis=1)
+        valid = (toks >= 0) & (st.gen[rows[:, None], nodes] < t.subtree[b[:, None], nodes])
+        dup = (toks[:, Km:, None] == toks[:, None, :Km]).any(axis=2) & (toks[:, Km:] >= 0)
+        valid = valid.at[:, Km:].set(valid[:, Km:] & ~dup)
+        safe = jnp.maximum(toks, 0).reshape(B, K, 2 * Km)
+        s = jnp.take_along_axis(lp, safe, axis=2) + alive_lp[:, :, None]
+        s = jnp.where(valid.reshape(B, K, 2 * Km), s, NEG_INF).reshape(B, K * 2 * Km)
+        beams = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, 2 * Km))
+        return s, safe.reshape(B, K * 2 * Km), beams.reshape(B, K * 2 * Km)
+
+
+def build_constraints(batch_constraints, representation: str):
+    """-> (tables pytree, static machine). The machine is hashable and part
+    of the jit cache key; the tables are traced arguments."""
+    B = len(batch_constraints)
+    if representation == "pointer":
+        tables, max_bank = LexicalConstraints.build(batch_constraints)
+        return tables, PointerMachine(batch=B, max_bank=max_bank)
+    if representation == "ordered":
+        tables, max_bank = OrderedConstraints.build(batch_constraints)
+        return tables, OrderedMachine(batch=B, max_bank=max_bank)
+    if representation == "unordered":
+        tables, max_bank, depth, Km = UnorderedTrieConstraints.build(batch_constraints)
+        return tables, UnorderedMachine(batch=B, max_bank=max_bank,
+                                        depth=depth, fanout=Km)
+    raise ValueError(f"unknown constraint representation: {representation!r}")

@@ -88,6 +88,7 @@ class SequenceGenerator:
         num_groups: int = 2,             # diverse_beam
         diversity_strength: float = 0.5, # diverse_beam Hamming penalty
         diversity_rate: float = 0.5,     # diverse_siblings rank penalty
+        constraint_representation: str = "unordered",  # pointer | ordered | unordered
     ):
         self.model = model
         self.dictionary = dictionary
@@ -109,6 +110,7 @@ class SequenceGenerator:
         self.num_groups = num_groups
         self.diversity_strength = diversity_strength
         self.diversity_rate = diversity_rate
+        self.constraint_representation = constraint_representation
         self.constraint_start = self.constraint_end = None
         if constraint_range:
             lo, hi = constraint_range.split(",")
@@ -152,21 +154,22 @@ class SequenceGenerator:
             prefix_tokens = np.zeros((B, 0), np.int32)
 
         cons = None
-        max_bank = 0
+        mach = None
         if self.search_strategy == "lexical":
             raw = sample.get("constraints")
             if raw is None:
                 raise ValueError("search_strategy='lexical' needs sample['constraints'] "
                                  "(per-sample lists of token sequences)")
-            cons, max_bank = search.LexicalConstraints.build(raw)
+            cons, mach = search.build_constraints(raw, self.constraint_representation)
 
         key = (B, max_len, P, self.beam_size, self.sampling,
                self.search_strategy,
-               None if cons is None else (cons.tokens.shape, max_bank))
+               None if cons is None
+               else (jax.tree.map(lambda a: a.shape, cons), mach))
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
                 functools.partial(self._generate, max_len=max_len, prefix_len=P,
-                                  max_bank=max_bank)
+                                  mach=mach)
             )
         seqs, scores = self._compiled[key](params, src_slots, tgt_slot, jnp.asarray(prefix_tokens),
                                            jax.random.PRNGKey(seed), cons)
@@ -188,7 +191,7 @@ class SequenceGenerator:
 
     # --------------------------------------------------------------- jitted
     def _generate(self, params, src_slots, tgt_slot, prefix_tokens, rng, cons=None, *,
-                  max_len: int, prefix_len: int, max_bank: int = 0):
+                  max_len: int, prefix_len: int, mach=None):
         net = self.model.net
         K = self.beam_size
         enc = net.apply({"params": params}, src_slots, method=net.encode)
@@ -218,12 +221,9 @@ class SequenceGenerator:
             if self.trie is not None
             else jnp.zeros((N,), jnp.int32)
         )
-        # lexical-constraint progress pointers, one row per beam
-        lexptr = (
-            search.lex_init_ptr(cons, K)
-            if self.search_strategy == "lexical" and cons is not None
-            else jnp.zeros((N, 1), jnp.int32)
-        )
+        # lexical-constraint state, one row per beam (machine-specific pytree)
+        lexical = self.search_strategy == "lexical" and cons is not None
+        lexstate = mach.init(cons, N) if lexical else jnp.zeros((N, 1), jnp.int32)
 
         def step_logits(carry_seq, step, cache):
             tokens = jax.lax.dynamic_slice_in_dim(
@@ -236,14 +236,14 @@ class SequenceGenerator:
             return logits[:, -1].astype(jnp.float32), new_cache
 
         def cond(state):
-            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexptr = state
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexstate = state
             best_alive = jnp.max(alive_lp, axis=1) / search.length_penalty(jnp.asarray(max_len), self.lenpen)
             worst_fin = jnp.min(jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
             improvable = jnp.any(~fin_flags.all(axis=1) | (best_alive > worst_fin))
             return (step <= max_len) & improvable
 
         def body(state):
-            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexptr = state
+            step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexstate = state
             lp, cache = step_logits(seq, step, cache)           # (N, V)
             if self.temperature != 1.0:
                 lp = lp / self.temperature
@@ -260,10 +260,8 @@ class SequenceGenerator:
 
             # lexical constraints: EOS is banned until every constraint is
             # met (guarantees emitted sequences contain all constraints)
-            if self.search_strategy == "lexical" and cons is not None:
-                bank_now = search.lex_bank(cons, lexptr, K)          # (N,)
-                total = cons.lengths.sum(axis=1)                      # (B,)
-                unmet = bank_now < jnp.repeat(total, K)
+            if lexical:
+                unmet = ~mach.met(cons, lexstate)                    # (N,)
                 lp = lp.at[:, self.eos].set(
                     jnp.where(unmet, NEG_INF, lp[:, self.eos])
                 )
@@ -306,15 +304,13 @@ class SequenceGenerator:
                 topk_lp, cand_tok, cand_beam = search.diverse_siblings_candidates(
                     lp, alive_lp, step, self.diversity_rate
                 )
-            elif self.search_strategy == "lexical" and cons is not None:
+            elif lexical:
                 topk_lp, topk_idx = jax.lax.top_k(flat, 2 * K)
                 cand_beam = topk_idx // V
                 cand_tok = topk_idx % V
                 # append per-beam constraint-advancing candidates so bank
                 # protection can keep them alive
-                ext_s, ext_t, ext_b = search.lex_candidate_extension(
-                    cons, lexptr, lp, alive_lp, K
-                )
+                ext_s, ext_t, ext_b = mach.extension(cons, lexstate, lp, alive_lp)
                 dup = jnp.any(
                     (ext_b[:, :, None] == cand_beam[:, None, :])
                     & (ext_t[:, :, None] == cand_tok[:, None, :]),
@@ -324,16 +320,12 @@ class SequenceGenerator:
                 topk_lp = jnp.concatenate([topk_lp, ext_s], axis=1)
                 cand_beam = jnp.concatenate([cand_beam, ext_b], axis=1)
                 cand_tok = jnp.concatenate([cand_tok, ext_t], axis=1)
-                # bank of every candidate after taking its token
+                # state + bank of every candidate after taking its token
                 M = cand_tok.shape[1]
-                prev = jnp.take_along_axis(
-                    lexptr.reshape(B, K, -1), cand_beam[:, :, None], axis=1
-                )                                                  # (B, M, C)
-                adv = search.lex_advance(
-                    cons, prev.reshape(B * M, -1), cand_tok.reshape(B * M), M
-                )
-                cand_banks = search.lex_bank(cons, adv, M).reshape(B, M)
-                cand_adv_ptr = adv.reshape(B, M, -1)
+                flat_rows = (jnp.arange(B)[:, None] * K + cand_beam).reshape(-1)
+                prev = search.state_take(lexstate, flat_rows)
+                cand_adv = mach.advance(cons, prev, cand_tok.reshape(-1))
+                cand_banks = mach.bank(cons, cand_adv).reshape(B, M)
             else:
                 topk_lp, topk_idx = jax.lax.top_k(flat, 2 * K)   # (B, 2K)
                 cand_beam = topk_idx // V
@@ -350,9 +342,8 @@ class SequenceGenerator:
             if cand_banks is not None:
                 # a hypothesis may only finish once every constraint is met
                 # (the max_len EOS force would otherwise leak unmet beams)
-                bank_beam = search.lex_bank(cons, lexptr, K).reshape(B, K)
-                met = jnp.take_along_axis(bank_beam, cand_beam, axis=1) >= \
-                    cons.lengths.sum(axis=1)[:, None]
+                met_beam = mach.met(cons, lexstate).reshape(B, K)
+                met = jnp.take_along_axis(met_beam, cand_beam, axis=1)
                 can_finish = is_eos & met
             new_fin_scores = jnp.where(can_finish, cand_scores, NEG_INF)
             all_fin_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
@@ -367,7 +358,7 @@ class SequenceGenerator:
             alive_cand_lp = jnp.where(is_eos, NEG_INF, topk_lp)
             if cand_banks is not None:
                 # DBA: protect the best candidate of every completion bank
-                sel_key = search.lex_protect(alive_cand_lp, cand_banks, max_bank)
+                sel_key = search.lex_protect(alive_cand_lp, cand_banks, mach.max_bank)
                 _, alive_idx = jax.lax.top_k(sel_key, K)
                 new_alive_lp = jnp.take_along_axis(alive_cand_lp, alive_idx, axis=1)
             else:
@@ -382,13 +373,14 @@ class SequenceGenerator:
                     self.trie, prev.reshape(N), alive_tok.reshape(N)
                 )
             if cand_banks is not None:
-                lexptr = jnp.take_along_axis(
-                    cand_adv_ptr, alive_idx[:, :, None], axis=1
-                ).reshape(N, -1)
+                M = cand_tok.shape[1]
+                lexstate = search.state_take(
+                    cand_adv, (jnp.arange(B)[:, None] * M + alive_idx).reshape(-1)
+                )
             return (step + 1, seq, new_alive_lp, fin_seq, fin_scores, fin_flags, cache, rng,
-                    tstates, lexptr)
+                    tstates, lexstate)
 
         state = (jnp.int32(0), seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng,
-                 tstates, lexptr)
+                 tstates, lexstate)
         state = jax.lax.while_loop(cond, body, state)
         return state[3], state[4]
