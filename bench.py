@@ -33,9 +33,9 @@ V5E_BF16_PEAK = 197e12
 
 # the mixed-modality multi-task load (BASELINE.md configs 1/2/4 jointly):
 #   name, batch, encoder tokens (post-adaptor), decoder tokens, raw input spec
-CAPTION = dict(name="caption", B=16, img=224, enc_tok=196, dec_tok=24)
-INFILL = dict(name="text_infilling", B=32, src_tok=64, enc_tok=64, dec_tok=64)
-ASR = dict(name="asr", B=8, frames=480, mels=80, enc_tok=120, dec_tok=32)
+CAPTION = dict(name="caption", B=64, img=224, enc_tok=196, dec_tok=24)
+INFILL = dict(name="text_infilling", B=128, src_tok=64, enc_tok=64, dec_tok=64)
+ASR = dict(name="asr", B=32, frames=480, mels=80, enc_tok=120, dec_tok=32)
 TASKS = (CAPTION, INFILL, ASR)
 
 STEPS = 8        # updates per timed chunk
