@@ -216,6 +216,10 @@ def _bwd(scale, causal, residuals, g):
 flash_attention_flat.defvjp(_fwd, _bwd)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def flash_attention(
     q: jax.Array,                  # (B, Tq, H, D)
     k: jax.Array,
@@ -226,9 +230,40 @@ def flash_attention(
     scale: float = 1.0,
     causal: bool = False,
 ) -> jax.Array:
-    """Drop-in for ops.attention.dot_product_attention (no-dropout path)."""
+    """Drop-in for ops.attention.dot_product_attention (no-dropout path).
+
+    Short/ragged sequences (the multi-task encoder mix runs T=196/120/64)
+    are tile-aligned here by zero-padding: queries to the sublane tile,
+    keys to the lane tile with the padding masked out, and the output
+    sliced back — the kernel itself only ever sees aligned blocks."""
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    Tq_p = _round_up(Tq, 16)
+    Tk_p = _round_up(Tk, 128)
+    if causal:
+        if Tq != Tk:
+            raise ValueError("flash_attention causal requires Tq == Tk")
+        # keep the causal diagonal offset at zero after padding: the kernel
+        # masks with start-aligned `col <= row` while the vjp's XLA
+        # reference uses the end-aligned `j <= i + (Tk - Tq)` — equal only
+        # when the padded lengths match
+        Tq_p = Tk_p = max(Tq_p, Tk_p)
+    if Tq_p != Tq or Tk_p != Tk:
+        if mask is None:
+            mask = jnp.ones((B, 1, 1, Tk), bool)
+        qp = [(0, 0), (0, Tq_p - Tq), (0, 0), (0, 0)]
+        kp = [(0, 0), (0, Tk_p - Tk), (0, 0), (0, 0)]
+        q = jnp.pad(q, qp)
+        k = jnp.pad(k, kp)
+        v = jnp.pad(v, kp)
+        mask = jnp.pad(mask, [(0, 0), (0, 0), (0, 0), (0, Tk_p - Tk)])
+        if bias is not None:
+            bias = jnp.pad(
+                bias, [(0, 0), (0, 0), (0, Tq_p - Tq), (0, Tk_p - Tk)]
+            )
+        out = flash_attention(q, k, v, bias=bias, mask=mask, scale=scale,
+                              causal=causal)
+        return out[:, :Tq]
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
@@ -249,9 +284,20 @@ def flash_attention(
 
 
 def flash_supported(Tq: int, Tk: int, D: int, dropout_rate: float) -> bool:
-    """Shapes the kernel handles well; otherwise the XLA path runs."""
+    """Shapes where the kernel beats (or matches) XLA; otherwise the XLA
+    path runs.
+
+    Ragged lengths are tile-aligned by the flash_attention pad/slice
+    wrapper, so alignment is no longer a gate — only dropout (not fused),
+    head dims past the lane budget, and the measured length crossover.
+    v5e, bf16, bias+mask, readback-timed: forward-only flash wins 1.26x at
+    T=196 / 1.70x at T=1024, but fwd+bwd is neutral-to-slower below
+    T~256 (the custom_vjp backward recomputes through XLA, so training
+    gains only the forward's HBM savings: T196 B64 measured 0.77x). The
+    T>=256 floor keeps short-sequence training on XLA while long — now
+    including ragged — sequences get the kernel."""
     if dropout_rate > 0.0:
         return False
     if D > 256:
         return False
-    return Tq % 8 == 0 and Tk % 128 == 0
+    return Tq >= 16 and Tk >= 256

@@ -20,6 +20,20 @@ Design (TPU-first, scaling-book pipelining recipe):
 
 Used by model/transformer.py when cfg.pipeline_stages > 1; layers must be in
 scan (stacked) layout and L %% stages == 0.
+
+Schedule choice (why GPipe and not 1F1B/interleaved): 1F1B's advantage over
+GPipe is not throughput — both run n_micro + S - 1 forward ticks and the
+same backward work; the bubble fraction is identical — but the activation
+stash: 1F1B holds <= S microbatch activations vs GPipe's n_micro. Under JAX
+autodiff the backward schedule is the transpose of the forward scan, and the
+stash concern is addressed the XLA-native way instead: per-layer remat
+(cfg.parallel.remat) already bounds residuals to the tick-level carries, and
+raising n_micro (the bubble lever, bubble = (S-1)/(n_micro + S - 1)) costs
+only O(n_micro) tick inputs, each 1/n_micro of the batch — i.e. O(1) batch
+memory total. A hand-scheduled interleaved 1F1B would add a custom-vjp
+pipeline with v in-flight activations per stage for an unmeasurable win on
+this design; revisit only if a profile on real multi-chip hardware shows the
+stash, not the bubble, binding.
 """
 
 from __future__ import annotations

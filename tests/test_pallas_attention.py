@@ -76,6 +76,47 @@ def test_flash_partial_final_kblock(T, causal):
 
 
 def test_flash_supported_gate():
-    assert flash_supported(128, 128, 64, 0.0)
-    assert not flash_supported(128, 128, 64, 0.1)   # dropout -> XLA path
-    assert not flash_supported(100, 130, 64, 0.0)   # unaligned
+    assert flash_supported(512, 512, 64, 0.0)
+    assert not flash_supported(512, 512, 64, 0.1)   # dropout -> XLA path
+    assert flash_supported(1000, 1000, 64, 0.0)     # ragged: pad/slice wrapper
+    assert flash_supported(100, 300, 64, 0.0)
+    assert not flash_supported(196, 196, 64, 0.0)   # short: XLA fwd+bwd wins
+
+
+@pytest.mark.parametrize("shape", [(196, 196), (120, 120), (64, 64), (24, 196), (100, 130)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_ragged_short_sequences(shape, causal):
+    """The multi-task encoder mix runs T=196/120/64 (none tile-aligned):
+    the pad/slice wrapper must tile-align queries/keys and mask the
+    padding. Causal only applies to the square self-attention shapes."""
+    Tq, Tk = shape
+    if causal and Tq != Tk:
+        pytest.skip("causal is self-attention only (start-aligned)")
+    B, H, D = 2, 4, 64
+    q, k, v = rand((B, Tq, H, D), 0), rand((B, Tk, H, D), 1), rand((B, Tk, H, D), 2)
+    bias = rand((1, H, Tq, Tk), 3) * 0.5
+    keep = jnp.asarray(np.random.default_rng(0).random((B, Tk)) > 0.2).at[:, 0].set(True)
+    mask = keep[:, None, None, :]
+    ref_mask = jnp.logical_and(mask, causal_mask(Tq, Tk)) if causal else mask
+    ref = dot_product_attention(q, k, v, bias=bias, mask=ref_mask, scale=0.125)
+    out = flash_attention(q, k, v, bias=bias, mask=mask, scale=0.125, causal=causal)
+    assert out.shape == (B, Tq, H, D)
+    assert not bool(jnp.any(jnp.isnan(out)))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_ragged_gradients_match():
+    B, Tq, H, D = 1, 100, 2, 32
+    q, k, v = rand((B, Tq, H, D), 0), rand((B, Tq, H, D), 1), rand((B, Tq, H, D), 2)
+    bias = rand((1, H, Tq, Tq), 3) * 0.1
+
+    def loss_flash(q, k, v, bias):
+        return flash_attention(q, k, v, bias=bias, scale=0.2, causal=True).sum()
+
+    def loss_ref(q, k, v, bias):
+        return dot_product_attention(q, k, v, bias=bias, mask=causal_mask(Tq, Tq), scale=0.2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
