@@ -10,13 +10,18 @@ Kernel layout (one grid step = one (batch*head, q-block, k-block) tile):
   VMEM scratch (running max m, normalizer l, accumulator acc) carries across
   k-blocks of the same q-block — the standard TPU flash pattern.
 
-Backward: custom_vjp recomputes attention with XLA einsums (fp32 softmax).
-O(T^2) transient in backward only; forward memory is O(T * D).
+Backward: FlashAttention-2 style Pallas kernels (dQ grid + dKV grid) that
+recompute P = exp(S - lse) from the forward's logsumexp residual — the
+O(T^2) probability matrix never round-trips HBM in either direction (the
+only T^2 HBM output is dS when the additive bias itself needs a gradient,
+which IS that gradient). Set OFASYS_FLASH_XLA_BWD=1 to fall back to the
+XLA-recompute backward for debugging.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -30,6 +35,7 @@ MASK_VALUE = -1e9
 def _flash_kernel(
     q_ref, k_ref, v_ref, bias_ref, mask_ref,   # inputs (some may be None)
     o_ref,                                     # output (1, Bq, D)
+    lse_ref,                                   # output (1, Bq, 1) f32 or None
     m_scr, l_scr, acc_scr,                     # VMEM scratch
     *, scale: float, causal: bool, Bq: int, Bk: int, n_k: int, Tk: int,
 ):
@@ -96,6 +102,10 @@ def _flash_kernel(
     def _epilogue():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # logsumexp residual for the pallas backward (m is finite after
+            # the always-computed kb=0 block, even for fully-masked rows)
+            lse_ref[0] = m_scr[:] + jnp.log(l)
 
 
 def _flash_forward(
@@ -108,6 +118,7 @@ def _flash_forward(
     causal: bool,
     block_q: int = 512,
     block_k: int = 512,
+    return_lse: bool = False,
 ) -> jax.Array:
     BH, Tq, D = q.shape
     Tk = k.shape[1]
@@ -139,15 +150,21 @@ def _flash_forward(
         _flash_kernel_dispatch,
         has_bias=bias is not None,
         has_mask=mask is not None,
+        has_lse=return_lse,
         scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_k=n_k, Tk=Tk,
     )
+    out_specs = pl.BlockSpec((1, Bq, D), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((BH, Tq, D), q.dtype)
+    if return_lse:
+        out_specs = [out_specs, pl.BlockSpec((1, Bq, 1), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((BH, Tq, 1), jnp.float32)]
     interpret = jax.default_backend() not in ("tpu", "axon")
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(BH, n_q, n_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Bq, D), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, Tq, D), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((Bq, 1), jnp.float32),
             pltpu.VMEM((Bq, 1), jnp.float32),
@@ -160,16 +177,301 @@ def _flash_forward(
             transcendentals=BH * Tq * Tk,
         ),
     )(*args)
+    return out
 
 
-def _flash_kernel_dispatch(*refs, has_bias, has_mask, **kw):
+def _flash_kernel_dispatch(*refs, has_bias, has_mask, has_lse, **kw):
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     bias_ref = next(it) if has_bias else None
     mask_ref = next(it) if has_mask else None
     o_ref = next(it)
+    lse_ref = next(it) if has_lse else None
     m_scr, l_scr, acc_scr = next(it), next(it), next(it)
-    _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, **kw)
+    _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, lse_ref,
+                  m_scr, l_scr, acc_scr, **kw)
+
+
+# ------------------------------------------------------------- backward
+# FlashAttention-2 style backward in two kernels (one accumulator family
+# per grid layout, so nothing needs cross-step HBM accumulation):
+#   dQ kernel : grid (BH, n_q, n_k), k innermost — dq accumulates in VMEM;
+#               also emits per-(b,h) dS blocks when the bias needs a grad.
+#   dKV kernel: grid (BH, n_k, n_q), q innermost — dk/dv accumulate in VMEM.
+# Both recompute S and P = exp(S - lse) from the forward's logsumexp
+# residual; the O(T^2) probability matrix never round-trips HBM (except
+# the dS output when a bias gradient is required — that IS the gradient).
+
+
+def _recompute_p(q_ref, k_ref, bias_ref, mask_ref, *, scale, causal,
+                 q_start, k_start, Bq, Bk, n_last, T_last, lse):
+    """Shared S/P recompute for the backward kernels (fp32)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0] != 0, s, MASK_VALUE)
+    if causal:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
+        s = jnp.where(cols <= rows, s, MASK_VALUE)
+    if n_last is not None:
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
+        s = jnp.where(cols < T_last, s, MASK_VALUE)
+    return jnp.exp(s - lse)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
+    dq_ref, ds_ref,
+    dq_scr,
+    *, scale, causal, Bq, Bk, n_k, Tk,
+):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q_start = pl.program_id(1) * Bq
+    k_start = kb * Bk
+
+    def _compute():
+        p = _recompute_p(
+            q_ref, k_ref, bias_ref, mask_ref, scale=scale, causal=causal,
+            q_start=q_start, k_start=k_start, Bq=Bq, Bk=Bk,
+            n_last=(n_k if n_k * Bk != Tk else None), T_last=Tk,
+            lse=lse_ref[0],                                    # (Bq, 1)
+        )
+        do = do_ref[0].astype(jnp.float32)                     # (Bq, D)
+        v = v_ref[0]
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # (Bq, Bk)
+        ds = p * (dp - dd_ref[0])                              # (Bq, Bk)
+        if ds_ref is not None:
+            ds_ref[0] = ds.astype(ds_ref.dtype)
+        k = k_ref[0]
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    if causal:
+        pl.when(k_start <= q_start + Bq - 1)(_compute)
+    else:
+        _compute()
+    if causal and ds_ref is not None:
+        # skipped upper-diagonal tiles still own their dS output block
+        pl.when(k_start > q_start + Bq - 1)(
+            lambda: ds_ref.__setitem__(0, jnp.zeros_like(ds_ref[0]))
+        )
+
+    @pl.when(kb == n_k - 1)
+    def _epilogue():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale, causal, Bq, Bk, n_q, n_k, Tk,
+):
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q_start = qb * Bq
+    k_start = pl.program_id(1) * Bk
+
+    def _compute():
+        p = _recompute_p(
+            q_ref, k_ref, bias_ref, mask_ref, scale=scale, causal=causal,
+            q_start=q_start, k_start=k_start, Bq=Bq, Bk=Bk,
+            n_last=(n_k if n_k * Bk != Tk else None), T_last=Tk,
+            lse=lse_ref[0],
+        )
+        do = do_ref[0].astype(jnp.float32)
+        pt = p.astype(do_ref.dtype)
+        dv_scr[:] += jax.lax.dot_general(
+            pt, do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # (Bk, D)
+        v = v_ref[0]
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dd_ref[0])).astype(q_ref.dtype)        # (Bq, Bk)
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                              # (Bk, D)
+
+    if causal:
+        pl.when(k_start <= q_start + Bq - 1)(_compute)
+    else:
+        _compute()
+
+    @pl.when(qb == n_q - 1)
+    def _epilogue():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, bias, mask, out, lse, g, scale, causal,
+    block_q: int = 512, block_k: int = 512,
+):
+    """dq, dk, dv, dbias via the two backward kernels. Shapes as in
+    _flash_forward; lse is the forward's (BH, Tq, 1) logsumexp."""
+    BH, Tq, D = q.shape
+    Tk = k.shape[1]
+    Bq = min(block_q, Tq)
+    Bk = min(block_k, Tk)
+    n_q = pl.cdiv(Tq, Bq)
+    n_k = pl.cdiv(Tk, Bk)
+    need_dbias = bias is not None
+    nb = bias.shape[0] if need_dbias else 0
+
+    # D_i = rowsum(dO * O): one fused XLA pass, O(T*D)
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                 axis=-1, keepdims=True)                        # (BH, Tq, 1)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def common_specs(order):
+        # order: 'q' -> grid (BH, n_q, n_k), 'k' -> grid (BH, n_k, n_q)
+        if order == "q":
+            qm = lambda bh, a, b: (bh, a, 0)
+            km = lambda bh, a, b: (bh, b, 0)
+            bm_bh = lambda bh, a, b: (bh, a, b)
+            bm_h = lambda bh, a, b: (bh % nb, a, b)
+            mm = lambda bh, a, b: (bh, 0, b)
+        else:
+            qm = lambda bh, a, b: (bh, b, 0)
+            km = lambda bh, a, b: (bh, a, 0)
+            bm_bh = lambda bh, a, b: (bh, b, a)
+            bm_h = lambda bh, a, b: (bh % nb, b, a)
+            mm = lambda bh, a, b: (bh, 0, a)
+        specs = [
+            pl.BlockSpec((1, Bq, D), qm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bk, D), km, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bk, D), km, memory_space=pltpu.VMEM),
+        ]
+        args = [q, k, v]
+        if bias is not None:
+            specs.append(pl.BlockSpec((1, Bq, Bk), bm_bh if nb == BH else bm_h,
+                                      memory_space=pltpu.VMEM))
+            args.append(bias)
+        if mask is not None:
+            specs.append(pl.BlockSpec((1, 1, Bk), mm, memory_space=pltpu.VMEM))
+            args.append(mask)
+        specs.append(pl.BlockSpec((1, Bq, D), qm, memory_space=pltpu.VMEM))   # dO
+        args.append(g)
+        specs.append(pl.BlockSpec((1, Bq, 1), lambda bh, a, b: qm(bh, a, b), memory_space=pltpu.VMEM))  # lse
+        args.append(lse)
+        specs.append(pl.BlockSpec((1, Bq, 1), lambda bh, a, b: qm(bh, a, b), memory_space=pltpu.VMEM))  # D_i
+        args.append(dd)
+        return specs, args
+
+    # ---- dQ (+ dS when the bias needs its gradient)
+    in_specs, args = common_specs("q")
+    dq_spec = pl.BlockSpec((1, Bq, D), lambda bh, a, b: (bh, a, 0), memory_space=pltpu.VMEM)
+    out_specs = [dq_spec]
+    out_shape = [jax.ShapeDtypeStruct((BH, Tq, D), q.dtype)]
+    if need_dbias:
+        out_specs.append(pl.BlockSpec((1, Bq, Bk), lambda bh, a, b: (bh, a, b),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((BH, Tq, Tk), jnp.float32))
+
+    def dq_dispatch(*refs):
+        it = iter(refs)
+        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        bias_ref = next(it) if bias is not None else None
+        mask_ref = next(it) if mask is not None else None
+        do_ref, lse_ref, dd_ref = next(it), next(it), next(it)
+        dq_ref = next(it)
+        ds_ref = next(it) if need_dbias else None
+        dq_scr = next(it)
+        _flash_bwd_dq_kernel(
+            q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
+            dq_ref, ds_ref, dq_scr,
+            scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_k=n_k, Tk=Tk,
+        )
+
+    dq_out = pl.pallas_call(
+        dq_dispatch,
+        grid=(BH, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((Bq, D), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * BH * Tq * Tk * D,
+            bytes_accessed=4 * BH * (Tq + Tk) * D,
+            transcendentals=BH * Tq * Tk,
+        ),
+    )(*args)
+    if need_dbias:
+        dq, ds = dq_out
+        dbias = ds if nb == BH else ds.reshape(BH // nb, nb, Tq, Tk).sum(0)
+        dbias = dbias.astype(bias.dtype)
+    else:
+        dq = dq_out[0]
+        dbias = None
+
+    # ---- dK / dV
+    in_specs, args = common_specs("k")
+
+    def dkv_dispatch(*refs):
+        it = iter(refs)
+        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        bias_ref = next(it) if bias is not None else None
+        mask_ref = next(it) if mask is not None else None
+        do_ref, lse_ref, dd_ref = next(it), next(it), next(it)
+        dk_ref, dv_ref = next(it), next(it)
+        dk_scr, dv_scr = next(it), next(it)
+        _flash_bwd_dkv_kernel(
+            q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
+            dk_ref, dv_ref, dk_scr, dv_scr,
+            scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_q=n_q, n_k=n_k, Tk=Tk,
+        )
+
+    dk, dv = pl.pallas_call(
+        dkv_dispatch,
+        grid=(BH, n_k, n_q),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, Bk, D), lambda bh, a, b: (bh, a, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bk, D), lambda bh, a, b: (bh, a, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tk, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Tk, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bk, D), jnp.float32),
+            pltpu.VMEM((Bk, D), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * BH * Tq * Tk * D,
+            bytes_accessed=4 * BH * (Tq + Tk) * D,
+            transcendentals=BH * Tq * Tk,
+        ),
+    )(*args)
+    return dq, dk, dv, dbias
 
 
 def _xla_reference(q, k, v, bias, mask, scale, causal):
@@ -195,19 +497,25 @@ def flash_attention_flat(q, k, v, bias, mask, scale, causal):
 
 
 def _fwd(q, k, v, bias, mask, scale, causal):
-    out = _flash_forward(q, k, v, bias, mask, scale, causal)
-    return out, (q, k, v, bias, mask)
+    out, lse = _flash_forward(q, k, v, bias, mask, scale, causal,
+                              return_lse=True)
+    return out, (q, k, v, bias, mask, out, lse)
 
 
 def _bwd(scale, causal, residuals, g):
-    q, k, v, bias, mask = residuals
-    # re-derive gradients through the XLA reference (numerically identical
-    # softmax semantics); O(T^2) transient lives only in backward
-    def f(q, k, v, bias):
-        return _xla_reference(q, k, v, bias, mask, scale, causal)
+    q, k, v, bias, mask, out, lse = residuals
+    if os.environ.get("OFASYS_FLASH_XLA_BWD") == "1":
+        # debugging fallback: re-derive gradients through the XLA
+        # reference (numerically identical softmax semantics)
+        def f(q, k, v, bias):
+            return _xla_reference(q, k, v, bias, mask, scale, causal)
 
-    _, vjp = jax.vjp(f, q, k, v, bias)
-    dq, dk, dv, dbias = vjp(g)
+        _, vjp = jax.vjp(f, q, k, v, bias)
+        dq, dk, dv, dbias = vjp(g)
+    else:
+        dq, dk, dv, dbias = _flash_backward(
+            q, k, v, bias, mask, out, lse, g, scale, causal
+        )
     if bias is None:
         dbias = None
     return dq, dk, dv, dbias, None
@@ -290,10 +598,10 @@ def flash_supported(Tq: int, Tk: int, D: int, dropout_rate: float) -> bool:
     Ragged lengths are tile-aligned by the flash_attention pad/slice
     wrapper, so alignment is no longer a gate — only dropout (not fused),
     head dims past the lane budget, and the measured length crossover.
-    v5e, bf16, bias+mask, readback-timed: forward-only flash wins 1.26x at
-    T=196 / 1.70x at T=1024, but fwd+bwd is neutral-to-slower below
-    T~256 (the custom_vjp backward recomputes through XLA, so training
-    gains only the forward's HBM savings: T196 B64 measured 0.77x). The
+    v5e, bf16, bias+mask, readback-timed, with the Pallas backward:
+    fwd-only 1.9x at T=1024 / 3.2x at T=2048; fwd+bwd 1.6x at T=1024 /
+    2.2x at T=2048 — but below T~256 XLA's fused attention still wins
+    fwd+bwd (T=196 B64: 0.79x; tiny tiles leave the MXU idle). The
     T>=256 floor keeps short-sequence training on XLA while long — now
     including ragged — sequences get the kernel."""
     if dropout_rate > 0.0:

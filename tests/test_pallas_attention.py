@@ -105,6 +105,28 @@ def test_flash_ragged_short_sequences(shape, causal):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-3)
 
 
+def test_flash_gradients_shared_bias_batched():
+    """B>1 with a (1,H,T,T) bias exercises the backward's dS batch-reduce
+    (dbias = sum_b dS); plus a padding mask in the gradient path."""
+    B, T, H, D = 3, 128, 2, 32
+    q, k, v = rand((B, T, H, D), 0), rand((B, T, H, D), 1), rand((B, T, H, D), 2)
+    bias = rand((1, H, T, T), 3) * 0.1
+    keep = jnp.asarray(np.random.default_rng(1).random((B, T)) > 0.3).at[:, 0].set(True)
+    mask = keep[:, None, None, :]
+
+    def loss_flash(q, k, v, bias):
+        return (flash_attention(q, k, v, bias=bias, mask=mask, scale=0.2) ** 2).sum()
+
+    def loss_ref(q, k, v, bias):
+        return (dot_product_attention(q, k, v, bias=bias, mask=mask, scale=0.2) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
 def test_flash_ragged_gradients_match():
     B, Tq, H, D = 1, 100, 2, 32
     q, k, v = rand((B, Tq, H, D), 0), rand((B, Tq, H, D), 1), rand((B, Tq, H, D), 2)
