@@ -63,6 +63,14 @@ class TextAdaptor(BaseAdaptor):
         return self.finish(slot, out, deterministic=deterministic)
 
     def forward_output(self, x: jax.Array, extra: Dict[str, Any], slot: SlotBatch):
-        """hidden -> vocab logits via the tied embedding (text.py:129)."""
-        logits = self.embed_tokens.attend(x.astype(jnp.float32))
-        return logits, extra
+        """hidden -> vocab logits via the tied embedding (text.py:129).
+
+        The matmul runs 2D: feeding (B, T, E) straight into the (E, V)
+        projection makes XLA pick a V-major operand layout and propagate
+        it back through the final LayerNorm, whose backward reductions
+        then run ~13x slower (profiled on the 50k-vocab mixed step).
+        flax promotes both operands to the module dtype (bf16 compute,
+        f32 accumulation); softmax/losses upcast at their own sites."""
+        B, T, E = x.shape
+        logits = self.embed_tokens.attend(x.reshape(B * T, E))
+        return logits.reshape(B, T, -1), extra
