@@ -95,10 +95,11 @@ class ScstRewardCriterion(BaseCriterion):
         net = model.net
 
         def loss_fn(params):
+            from ofasys_tpu.ops.losses import token_log_probs
+
             enc = net.apply({"params": params}, src_rep, method=net.encode)
             out, _ = net.apply({"params": params}, [tgt], enc, method=net.decode_full)
-            lp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-            tok_lp = jnp.take_along_axis(lp, jnp.asarray(target)[:, :, None], axis=-1)[..., 0]
+            tok_lp = token_log_probs(out, jnp.asarray(target))
             valid = jnp.asarray(target) != d_pad
             seq_lp = jnp.where(valid, tok_lp, 0.0).sum(-1)
             loss = -(adv * seq_lp).sum()

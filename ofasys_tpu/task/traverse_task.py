@@ -56,10 +56,11 @@ class TraverseTask(Task):
             net = model.net
 
             def score(params, src_slots, tgt, target, pad_id):
+                from ofasys_tpu.ops.losses import token_log_probs
+
                 enc = net.apply({"params": params}, src_slots, method=net.encode)
                 out, _ = net.apply({"params": params}, [tgt], enc, method=net.decode_full)
-                lp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-                tok_lp = jnp.take_along_axis(lp, target[:, :, None], axis=-1)[..., 0]
+                tok_lp = token_log_probs(out, target)
                 valid = target != pad_id
                 return jnp.where(valid, tok_lp, 0.0).sum(-1)
 

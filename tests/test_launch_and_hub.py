@@ -76,3 +76,26 @@ def test_hub_from_pretrained_roundtrip(tmp_path):
                          data=[{"src": "alpha"}, {"src": "beta"}],
                          beam_size=2, max_len_b=8)
     assert len(outs) == 2
+
+
+def test_example_yamls_parse_and_reference_registered_tasks():
+    """Every shipped example config must parse through the launcher's YAML
+    path and name only registered tasks (keeps examples/ from rotting)."""
+    import glob
+    import os
+
+    import ofasys_tpu.task.tasks  # noqa: F401 — side-effect registration
+    from ofasys_tpu.configure import ConfigStore
+    from ofasys_tpu.launch import load_yaml_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 7
+    for y in paths:
+        cfg = load_yaml_config(y)
+        tasks = cfg.get("tasks", {})
+        assert tasks, y
+        for tcfg in tasks.values():
+            reg = tcfg.get("task", "default") if isinstance(tcfg, dict) else "default"
+            if reg != "default":
+                assert ConfigStore().get("ofasys.task", reg) is not None, (y, reg)
