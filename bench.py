@@ -41,7 +41,9 @@ TASKS = (CAPTION, INFILL, ASR)
 STEPS = 8        # updates per timed chunk
 CHUNKS = 5
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
-BASELINE_KEY = ["mixed_v2", ARCH, VOCAB_EXTRA, [(t["B"], t["enc_tok"], t["dec_tok"]) for t in TASKS]]
+# list-of-lists (json round-trip safe: tuples would never equal the loaded
+# lists, silently re-measuring the noisy torch denominator every run)
+BASELINE_KEY = ["mixed_v2", ARCH, VOCAB_EXTRA, [[t["B"], t["enc_tok"], t["dec_tok"]] for t in TASKS]]
 
 
 # ---------------------------------------------------------------- analytics

@@ -27,6 +27,36 @@ from ofasys_tpu.model.transformer import LN_EPS, TransformerEncoderLayer
 from ofasys_tpu.utils.pytree import SlotBatch
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch projection as space-to-depth + one matmul.
+
+    Mathematically identical to nn.Conv(E, (p, p), strides=(p, p), VALID)
+    and keeps that module's parameter layout (kernel (p, p, C, E) + bias),
+    but XLA lowers the strided conv ~100x off peak on TPU (profiled at
+    ~10ms/step on the mixed bench for 14.8 GFLOPs of work); the reshaped
+    matmul rides the MXU like any other projection."""
+
+    features: int
+    patch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:   # (B, H, W, C)
+        p = self.patch
+        B, H, W, C = images.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, C, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        h, w = H // p, W // p
+        x = images[:, : h * p, : w * p].reshape(B, h, p, w, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, h * w, p * p * C)
+        y = jnp.dot(x.astype(self.dtype),
+                    kernel.reshape(p * p * C, self.features).astype(self.dtype))
+        return (y + bias.astype(self.dtype)).reshape(B, h, w, self.features)
+
+
 @dataclass
 class ImageAdaptorConfig(BaseAdaptorConfig):
     image_bucket_size: int = 42          # max grid side for rel-pos buckets
@@ -126,8 +156,7 @@ class ImageVitAdaptor(_ImageAdaptorMixin):
     def __call__(self, slot: SlotBatch, deterministic: bool = True) -> AdaptorOutput:
         images = self.get_images(slot).astype(self.dtype)
         p = self.adaptor_cfg.patch_size
-        feat = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
-                       dtype=self.dtype, param_dtype=jnp.float32, name="patch_embed")(images)
+        feat = PatchEmbed(self.embed_dim, p, dtype=self.dtype, name="patch_embed")(images)
         B, h, w, E = feat.shape
         if self.adaptor_cfg.vit_layers > 0:
             x = feat.reshape(B, h * w, E)

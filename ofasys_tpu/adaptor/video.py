@@ -32,8 +32,9 @@ class VideoImageSequenceAdaptor(BaseAdaptor):
         videos = (slot.value["inputs"] if isinstance(slot.value, dict) else slot.value).astype(self.dtype)
         B, N, H, W, C = videos.shape
         p = acfg.patch_size
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
-                    dtype=self.dtype, param_dtype=jnp.float32, name="patch_embed")(
+        from ofasys_tpu.adaptor.image import PatchEmbed
+
+        x = PatchEmbed(self.embed_dim, p, dtype=self.dtype, name="patch_embed")(
             videos.reshape(B * N, H, W, C)
         )
         h, w = x.shape[1], x.shape[2]

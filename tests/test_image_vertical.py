@@ -124,3 +124,23 @@ def test_grounding_template_mixes_box_into_text():
     assert len(tgt.value["inputs"]) == 6  # bos + 4 bins + eos
     batch = g.collate([processed])
     assert batch["target"].shape[0] == 1
+
+
+def test_patch_embed_matches_strided_conv():
+    """PatchEmbed (space-to-depth + matmul — the TPU lowering) must be a
+    bit-for-param drop-in for nn.Conv(E, (p,p), strides=(p,p), VALID)."""
+    import flax.linen as nn
+
+    from ofasys_tpu.adaptor.image import PatchEmbed
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32)
+    pe = PatchEmbed(32, 16, dtype=jnp.float32)
+    conv = nn.Conv(32, (16, 16), strides=(16, 16), padding="VALID",
+                   dtype=jnp.float32, param_dtype=jnp.float32)
+    params = conv.init(jax.random.PRNGKey(1), x)   # conv params drive both
+    assert jax.tree.map(lambda a: a.shape, pe.init(jax.random.PRNGKey(1), x)) == \
+        jax.tree.map(lambda a: a.shape, params)
+    np.testing.assert_allclose(
+        np.asarray(pe.apply(params, x)), np.asarray(conv.apply(params, x)),
+        rtol=1e-5, atol=1e-5,
+    )
