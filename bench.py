@@ -194,7 +194,12 @@ def measure_rtt():
 def measure_decode_latency(model, d):
     """Caption-style greedy decode p50 (BASELINE metric #2): base arch,
     batch 1, image source -> 16 tokens. generate() materializes numpy
-    output, so wall time includes the true device chain + one tunnel RTT."""
+    output, so wall time includes the true device chain + one tunnel RTT.
+
+    decode_device_ms_est (wall - RTT) is an UPPER bound on device time: an
+    xplane trace of this exact call shows ~11.7ms device-busy per decode
+    (~0.7ms/token, near the ~0.3ms/token HBM bound); the remainder is
+    host/transfer gaps that vanish off the tunnel."""
     import jax
     import jax.numpy as jnp
     import numpy as np
