@@ -204,8 +204,11 @@ def _flash_kernel_dispatch(*refs, has_bias, has_mask, has_lse, **kw):
 
 
 def _recompute_p(q_ref, k_ref, bias_ref, mask_ref, *, scale, causal,
-                 q_start, k_start, Bq, Bk, n_last, T_last, lse):
-    """Shared S/P recompute for the backward kernels (fp32)."""
+                 q_start, k_start, Bq, Bk, ragged_q, ragged_k, Tq, Tk, lse):
+    """Shared S/P recompute for the backward kernels (fp32). Partial final
+    blocks are padded with garbage by pallas, so P is hard-zeroed outside
+    the (Tq, Tk) bounds (exp of masked-garbage can still be inf/NaN when
+    the padded lse rows are garbage too)."""
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
@@ -219,19 +222,46 @@ def _recompute_p(q_ref, k_ref, bias_ref, mask_ref, *, scale, causal,
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
         s = jnp.where(cols <= rows, s, MASK_VALUE)
-    if n_last is not None:
+    p = jnp.exp(s - lse)
+    if ragged_k:
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
-        s = jnp.where(cols < T_last, s, MASK_VALUE)
-    return jnp.exp(s - lse)
+        p = jnp.where(cols < Tk, p, 0.0)
+    if ragged_q:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
+        p = jnp.where(rows < Tq, p, 0.0)
+    return p
+
+
+def _zero_ragged_rows(x, start, bound, ragged):
+    """Zero padded rows of a (Bn, D) block (0 * NaN = NaN otherwise)."""
+    if not ragged:
+        return x
+    rows = start + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    return jnp.where(rows < bound, x, 0)
+
+
+def _inbounds(q_start, k_start, Bq, Bk, Tq, Tk, ragged_q, ragged_k):
+    """(Bq, Bk) bool: True inside the real (Tq, Tk) extent; None if aligned."""
+    ok = None
+    if ragged_q:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
+        ok = rows < Tq
+    if ragged_k:
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
+        ck = cols < Tk
+        ok = ck if ok is None else ok & ck
+    return ok
 
 
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
     dq_ref, ds_ref,
     dq_scr,
-    *, scale, causal, Bq, Bk, n_k, Tk,
+    *, scale, causal, Bq, Bk, n_q, n_k, Tq, Tk,
 ):
     kb = pl.program_id(2)
+    ragged_q = n_q * Bq != Tq
+    ragged_k = n_k * Bk != Tk
 
     @pl.when(kb == 0)
     def _init():
@@ -244,19 +274,23 @@ def _flash_bwd_dq_kernel(
         p = _recompute_p(
             q_ref, k_ref, bias_ref, mask_ref, scale=scale, causal=causal,
             q_start=q_start, k_start=k_start, Bq=Bq, Bk=Bk,
-            n_last=(n_k if n_k * Bk != Tk else None), T_last=Tk,
+            ragged_q=ragged_q, ragged_k=ragged_k, Tq=Tq, Tk=Tk,
             lse=lse_ref[0],                                    # (Bq, 1)
         )
         do = do_ref[0].astype(jnp.float32)                     # (Bq, D)
-        v = v_ref[0]
+        v = _zero_ragged_rows(v_ref[0], k_start, Tk, ragged_k)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                      # (Bq, Bk)
         ds = p * (dp - dd_ref[0])                              # (Bq, Bk)
+        ok = _inbounds(q_start, k_start, Bq, Bk, Tq, Tk, ragged_q, ragged_k)
+        if ok is not None:
+            # p is 0 outside bounds but (dp - dd) can be inf/NaN there
+            ds = jnp.where(ok, ds, 0.0)
         if ds_ref is not None:
             ds_ref[0] = ds.astype(ds_ref.dtype)
-        k = k_ref[0]
+        k = _zero_ragged_rows(k_ref[0], k_start, Tk, ragged_k)
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -281,9 +315,11 @@ def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, scale, causal, Bq, Bk, n_q, n_k, Tk,
+    *, scale, causal, Bq, Bk, n_q, n_k, Tq, Tk,
 ):
     qb = pl.program_id(2)
+    ragged_q = n_q * Bq != Tq
+    ragged_k = n_k * Bk != Tk
 
     @pl.when(qb == 0)
     def _init():
@@ -297,23 +333,28 @@ def _flash_bwd_dkv_kernel(
         p = _recompute_p(
             q_ref, k_ref, bias_ref, mask_ref, scale=scale, causal=causal,
             q_start=q_start, k_start=k_start, Bq=Bq, Bk=Bk,
-            n_last=(n_k if n_k * Bk != Tk else None), T_last=Tk,
+            ragged_q=ragged_q, ragged_k=ragged_k, Tq=Tq, Tk=Tk,
             lse=lse_ref[0],
         )
-        do = do_ref[0].astype(jnp.float32)
-        pt = p.astype(do_ref.dtype)
+        do_raw = _zero_ragged_rows(do_ref[0], q_start, Tq, ragged_q)
+        do = do_raw.astype(jnp.float32)
+        pt = p.astype(do_raw.dtype)
         dv_scr[:] += jax.lax.dot_general(
-            pt, do_ref[0], (((0,), (0,)), ((), ())),
+            pt, do_raw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                      # (Bk, D)
-        v = v_ref[0]
+        v = _zero_ragged_rows(v_ref[0], k_start, Tk, ragged_k)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = (p * (dp - dd_ref[0])).astype(q_ref.dtype)        # (Bq, Bk)
+        ds = p * (dp - dd_ref[0])                              # (Bq, Bk)
+        ok = _inbounds(q_start, k_start, Bq, Bk, Tq, Tk, ragged_q, ragged_k)
+        if ok is not None:
+            ds = jnp.where(ok, ds, 0.0)
+        q = _zero_ragged_rows(q_ref[0], q_start, Tq, ragged_q)
         dk_scr[:] += jax.lax.dot_general(
-            ds, q_ref[0], (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                                              # (Bk, D)
 
@@ -406,7 +447,8 @@ def _flash_backward(
         _flash_bwd_dq_kernel(
             q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
             dq_ref, ds_ref, dq_scr,
-            scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_k=n_k, Tk=Tk,
+            scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_q=n_q, n_k=n_k,
+            Tq=Tq, Tk=Tk,
         )
 
     dq_out = pl.pallas_call(
@@ -445,7 +487,8 @@ def _flash_backward(
         _flash_bwd_dkv_kernel(
             q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
             dk_ref, dv_ref, dk_scr, dv_scr,
-            scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_q=n_q, n_k=n_k, Tk=Tk,
+            scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_q=n_q, n_k=n_k,
+            Tq=Tq, Tk=Tk,
         )
 
     dk, dv = pl.pallas_call(

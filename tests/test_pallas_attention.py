@@ -105,6 +105,27 @@ def test_flash_ragged_short_sequences(shape, causal):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-3)
 
 
+def test_flash_gradients_causal_multiblock_bias():
+    """T > block size with causal: upper-diagonal tiles are skipped in the
+    backward grid — their dS output blocks must still be zeroed or the
+    bias gradient reads uninitialized memory."""
+    B, T, H, D = 1, 640, 2, 32
+    q, k, v = rand((B, T, H, D), 0), rand((B, T, H, D), 1), rand((B, T, H, D), 2)
+    bias = rand((1, H, T, T), 3) * 0.1
+
+    def loss_flash(q, k, v, bias):
+        return (flash_attention(q, k, v, bias=bias, scale=0.2, causal=True) ** 2).sum()
+
+    def loss_ref(q, k, v, bias):
+        return (dot_product_attention(q, k, v, bias=bias, mask=causal_mask(T, T), scale=0.2) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        assert not bool(jnp.any(jnp.isnan(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
 def test_flash_gradients_shared_bias_batched():
     """B>1 with a (1,H,T,T) bias exercises the backward's dS batch-reduce
     (dbias = sum_b dS); plus a padding mask in the gradient path."""
