@@ -642,11 +642,12 @@ def flash_supported(Tq: int, Tk: int, D: int, dropout_rate: float) -> bool:
     wrapper, so alignment is no longer a gate — only dropout (not fused),
     head dims past the lane budget, and the measured length crossover.
     v5e, bf16, bias+mask, readback-timed, with the Pallas backward:
-    fwd-only 1.9x at T=1024 / 3.2x at T=2048; fwd+bwd 1.6x at T=1024 /
-    2.2x at T=2048 — but below T~256 XLA's fused attention still wins
-    fwd+bwd (T=196 B64: 0.79x; tiny tiles leave the MXU idle). The
-    T>=256 floor keeps short-sequence training on XLA while long — now
-    including ragged — sequences get the kernel."""
+    fwd-only 1.9x at T=1024 / 3.2x at T=2048; fwd+bwd including the bias
+    gradient (the training-realistic case) 1.67x at T=1024 / 2.11x at
+    T=2048 — but below T~256 XLA's fused attention still wins fwd+bwd
+    (T=196 B64: 0.79x; tiny tiles leave the MXU idle). The T>=256 floor
+    keeps short-sequence training on XLA while long — now including
+    ragged — sequences get the kernel."""
     if dropout_rate > 0.0:
         return False
     if D > 256:
