@@ -78,6 +78,8 @@ def build_model_and_batches():
     d.pad_to_multiple_(128)
     model = GeneralistModel(arch=ARCH)
     model.cfg.dropout = 0.0
+    if os.environ.get("BENCH_LN"):           # A/B: xla | hybrid | pallas
+        model.cfg.ln_impl = os.environ["BENCH_LN"]
     model.initialize(
         d, active_adaptors=("text", "image_vit", "audio_fbank"), dtype=jnp.bfloat16
     )

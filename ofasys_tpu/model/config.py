@@ -62,6 +62,12 @@ class GeneralistModelConfig(BaseDataclass):
 
     # TPU execution knobs (no reference counterpart)
     use_flash_attention: bool = True   # Pallas kernel when on TPU and shapes allow
+    # LayerNorm implementation for the transformer stacks:
+    #   'xla'    — nn.LayerNorm, fully compiler-fused both directions
+    #   'hybrid' — XLA-fusable forward + one-pass Pallas backward
+    #   'pallas' — Pallas forward AND backward (loses the in-context A/B;
+    #              kept for odd stacks where XLA fusion is unavailable)
+    ln_impl: str = "xla"
     remat: str = "none"                # 'none' | 'full' — per-layer jax.checkpoint
     scan_layers: bool = False          # lax.scan over stacked layer params
     # GPipe pipeline over the 'pipe' mesh axis (parallel/pipeline.py);

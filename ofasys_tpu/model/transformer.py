@@ -42,6 +42,19 @@ def _flash_available() -> bool:
 LN_EPS = 1e-5
 
 
+def make_ln(cfg: "GeneralistModelConfig", dtype, name: str):
+    """LayerNorm per cfg.ln_impl: 'xla' (nn.LayerNorm, compiler-fused),
+    'hybrid' (XLA forward + Pallas backward), 'pallas' (Pallas both ways).
+    All three share parameter names ('scale'/'bias') and numerics."""
+    impl = getattr(cfg, "ln_impl", "xla")
+    if impl in ("hybrid", "pallas"):
+        from ofasys_tpu.ops.pallas_layernorm import FusedLayerNorm
+
+        mode = "hybrid" if impl == "hybrid" else "fused"
+        return FusedLayerNorm(epsilon=LN_EPS, dtype=dtype, mode=mode, name=name)
+    return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=name)
+
+
 def get_activation_fn(name: str) -> Callable:
     if name == "gelu":
         return lambda x: jax.nn.gelu(x, approximate=False)
@@ -273,7 +286,7 @@ class FeedForward(nn.Module):
             h = act(dense(self.ffn_dim, fc1_name)(x))
             h = act_drop(h, deterministic=deterministic)
             if self.cfg.scale_fc:
-                h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=fc2_name + "_ln")(h)
+                h = make_ln(self.cfg, self.dtype, fc2_name + "_ln")(h)
             return dense(self.embed_dim, fc2_name)(h)
 
         if not self.cfg.modal_ffn or not modal_spans:
@@ -306,7 +319,7 @@ class TransformerEncoderLayer(nn.Module):
         # args are positional (no *) so nn.remat can mark deterministic and
         # modal_spans static (jax.checkpoint rejects kwargs)
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
+        ln = lambda name: make_ln(self.cfg, self.dtype, name)
         dropout = nn.Dropout(cfg.dropout)
         drop_path = DropPath(self.drop_path_rate)
         dpr = drop_path_rate
@@ -366,7 +379,7 @@ class TransformerDecoderLayer(nn.Module):
         # positional (no *) so nn.remat can mark deterministic/modal_spans/
         # full_context static (jax.checkpoint rejects kwargs)
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=name)
+        ln = lambda name: make_ln(self.cfg, self.dtype, name)
         dropout = nn.Dropout(cfg.dropout)
         drop_path = DropPath(self.drop_path_rate)
         dpr = drop_path_rate
@@ -571,7 +584,7 @@ class TransformerEncoder(nn.Module):
                 bias = bias_spec.layer_bias(i) if bias_spec is not None else None
                 x = layer(x, attn_mask, bias, deterministic, modal_spans)
         if cfg.encoder.normalize_before:
-            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x)
+            x = make_ln(self.cfg, self.dtype, "layer_norm")(x)
         return x
 
 
@@ -743,5 +756,5 @@ class TransformerDecoder(nn.Module):
                 if cache is not None:
                     new_cache[f"layers_{i}"] = layer_cache
         if cfg.decoder.normalize_before:
-            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x)
+            x = make_ln(self.cfg, self.dtype, "layer_norm")(x)
         return x, new_cache

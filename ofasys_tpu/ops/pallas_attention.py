@@ -12,10 +12,17 @@ Kernel layout (one grid step = one (batch*head, q-block, k-block) tile):
 
 Backward: FlashAttention-2 style Pallas kernels (dQ grid + dKV grid) that
 recompute P = exp(S - lse) from the forward's logsumexp residual — the
-O(T^2) probability matrix never round-trips HBM in either direction (the
-only T^2 HBM output is dS when the additive bias itself needs a gradient,
-which IS that gradient). Set OFASYS_FLASH_XLA_BWD=1 to fall back to the
-XLA-recompute backward for debugging.
+O(T^2) probability matrix never round-trips HBM in either direction. When
+the additive bias needs a gradient, the only T^2 HBM output is that
+gradient itself: per-(b,h) dS blocks fused into the dQ kernel for a
+per-(b,h) bias, or a dedicated batch-accumulating kernel (grid
+(H, n_q, n_k, B), b innermost, VMEM accumulation) that writes the
+(H, Tq, Tk) sum directly for the shared rel-pos bias — never the
+B-times-larger per-batch intermediate. Set OFASYS_FLASH_XLA_BWD=1 to fall
+back to the XLA-recompute backward for debugging.
+
+flash_attention_with_lse additionally returns the logsumexp and accepts
+its cotangent (ring attention's differentiable online merge).
 """
 
 from __future__ import annotations
@@ -369,12 +376,127 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _flash_bwd_dbias_kernel(
+    q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
+    ds_ref,
+    ds_scr,
+    *, scale, causal, Bq, Bk, n_q, n_k, Tq, Tk, B,
+):
+    """Shared-bias gradient: grid (H, n_q, n_k, B), batch innermost.
+
+    dS for the shared (H, Tq, Tk) rel-pos bias is sum_b p_b * (dp_b - dd_b);
+    accumulating that sum over b in VMEM scratch means HBM only ever holds
+    the (H, Tq, Tk) result — B-fold smaller than emitting per-(b,h) dS
+    blocks and batch-reducing them in XLA (the round-1 design), which at
+    B=32, H=12, T=2048 would stage 6.4 GB of f32 dS."""
+    b = pl.program_id(3)
+    ragged_q = n_q * Bq != Tq
+    ragged_k = n_k * Bk != Tk
+
+    @pl.when(b == 0)
+    def _init():
+        ds_scr[:] = jnp.zeros_like(ds_scr)
+
+    q_start = pl.program_id(1) * Bq
+    k_start = pl.program_id(2) * Bk
+
+    def _compute():
+        p = _recompute_p(
+            q_ref, k_ref, bias_ref, mask_ref, scale=scale, causal=causal,
+            q_start=q_start, k_start=k_start, Bq=Bq, Bk=Bk,
+            ragged_q=ragged_q, ragged_k=ragged_k, Tq=Tq, Tk=Tk,
+            lse=lse_ref[0],
+        )
+        do = do_ref[0].astype(jnp.float32)
+        v = _zero_ragged_rows(v_ref[0], k_start, Tk, ragged_k)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dd_ref[0])
+        ok = _inbounds(q_start, k_start, Bq, Bk, Tq, Tk, ragged_q, ragged_k)
+        if ok is not None:
+            ds = jnp.where(ok, ds, 0.0)
+        ds_scr[:] += ds
+
+    if causal:
+        pl.when(k_start <= q_start + Bq - 1)(_compute)
+    else:
+        _compute()
+
+    @pl.when(b == B - 1)
+    def _epilogue():
+        ds_ref[0] = ds_scr[:].astype(ds_ref.dtype)
+
+
+def _shared_dbias(q, k, v, bias, mask, g, lse, dd, scale, causal,
+                  Bq, Bk, n_q, n_k, Tq, Tk, interpret):
+    """Batch-accumulated gradient for a shared (H, Tq, Tk) bias."""
+    BH = q.shape[0]
+    D = q.shape[2]
+    H = bias.shape[0]
+    B = BH // H
+
+    # bh = b * H + h throughout (flash_attention flattens (B, H) that way)
+    specs = [
+        pl.BlockSpec((1, Bq, D), lambda h, a, c, b: (b * H + h, a, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bk, D), lambda h, a, c, b: (b * H + h, c, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bk, D), lambda h, a, c, b: (b * H + h, c, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bq, Bk), lambda h, a, c, b: (h, a, c), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, bias]
+    if mask is not None:
+        specs.append(pl.BlockSpec((1, 1, Bk), lambda h, a, c, b: (b * H + h, 0, c), memory_space=pltpu.VMEM))
+        args.append(mask)
+    specs.extend([
+        pl.BlockSpec((1, Bq, D), lambda h, a, c, b: (b * H + h, a, 0), memory_space=pltpu.VMEM),   # dO
+        pl.BlockSpec((1, Bq, 1), lambda h, a, c, b: (b * H + h, a, 0), memory_space=pltpu.VMEM),   # lse
+        pl.BlockSpec((1, Bq, 1), lambda h, a, c, b: (b * H + h, a, 0), memory_space=pltpu.VMEM),   # D_i
+    ])
+    args.extend([g, lse, dd])
+
+    def dispatch(*refs):
+        it = iter(refs)
+        q_ref, k_ref, v_ref, bias_ref = next(it), next(it), next(it), next(it)
+        mask_ref = next(it) if mask is not None else None
+        do_ref, lse_ref, dd_ref = next(it), next(it), next(it)
+        ds_ref = next(it)
+        ds_scr = next(it)
+        _flash_bwd_dbias_kernel(
+            q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
+            ds_ref, ds_scr,
+            scale=scale, causal=causal, Bq=Bq, Bk=Bk, n_q=n_q, n_k=n_k,
+            Tq=Tq, Tk=Tk, B=B,
+        )
+
+    return pl.pallas_call(
+        dispatch,
+        grid=(H, n_q, n_k, B),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, Bq, Bk), lambda h, a, c, b: (h, a, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, Tq, Tk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bq, Bk), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * BH * Tq * Tk * D,
+            bytes_accessed=2 * BH * (Tq + Tk) * D + 4 * H * Tq * Tk,
+            transcendentals=BH * Tq * Tk,
+        ),
+    )(*args)
+
+
 def _flash_backward(
     q, k, v, bias, mask, out, lse, g, scale, causal,
-    block_q: int = 512, block_k: int = 512,
+    block_q: int = 512, block_k: int = 512, g_lse=None,
 ):
-    """dq, dk, dv, dbias via the two backward kernels. Shapes as in
-    _flash_forward; lse is the forward's (BH, Tq, 1) logsumexp."""
+    """dq, dk, dv, dbias via the backward kernels. Shapes as in
+    _flash_forward; lse is the forward's (BH, Tq, 1) logsumexp.
+
+    g_lse, when given, is the cotangent of the lse output itself
+    (flash_attention_with_lse): since d lse / d s = p, its contribution is
+    ds += g_lse * p, which folds into the existing ds = p * (dp - dd) as
+    dd -> dd - g_lse — zero kernel changes."""
     BH, Tq, D = q.shape
     Tk = k.shape[1]
     Bq = min(block_q, Tq)
@@ -387,6 +509,8 @@ def _flash_backward(
     # D_i = rowsum(dO * O): one fused XLA pass, O(T*D)
     dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                  axis=-1, keepdims=True)                        # (BH, Tq, 1)
+    if g_lse is not None:
+        dd = dd - g_lse.astype(jnp.float32)
 
     interpret = jax.default_backend() not in ("tpu", "axon")
 
@@ -425,12 +549,15 @@ def _flash_backward(
         args.append(dd)
         return specs, args
 
-    # ---- dQ (+ dS when the bias needs its gradient)
+    # ---- dQ (+ dS when a per-(b,h) bias needs its gradient; a bias shared
+    # across the batch gets the dedicated batch-accumulating kernel below,
+    # so its B-times-larger per-(b,h) dS never touches HBM)
+    fuse_ds = need_dbias and nb == BH
     in_specs, args = common_specs("q")
     dq_spec = pl.BlockSpec((1, Bq, D), lambda bh, a, b: (bh, a, 0), memory_space=pltpu.VMEM)
     out_specs = [dq_spec]
     out_shape = [jax.ShapeDtypeStruct((BH, Tq, D), q.dtype)]
-    if need_dbias:
+    if fuse_ds:
         out_specs.append(pl.BlockSpec((1, Bq, Bk), lambda bh, a, b: (bh, a, b),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((BH, Tq, Tk), jnp.float32))
@@ -442,7 +569,7 @@ def _flash_backward(
         mask_ref = next(it) if mask is not None else None
         do_ref, lse_ref, dd_ref = next(it), next(it), next(it)
         dq_ref = next(it)
-        ds_ref = next(it) if need_dbias else None
+        ds_ref = next(it) if fuse_ds else None
         dq_scr = next(it)
         _flash_bwd_dq_kernel(
             q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, lse_ref, dd_ref,
@@ -465,13 +592,17 @@ def _flash_backward(
             transcendentals=BH * Tq * Tk,
         ),
     )(*args)
-    if need_dbias:
+    if fuse_ds:
         dq, ds = dq_out
-        dbias = ds if nb == BH else ds.reshape(BH // nb, nb, Tq, Tk).sum(0)
-        dbias = dbias.astype(bias.dtype)
+        dbias = ds.astype(bias.dtype)
     else:
-        dq = dq_out[0]
+        dq = dq_out[0] if isinstance(dq_out, (list, tuple)) else dq_out
         dbias = None
+    if need_dbias and not fuse_ds:
+        dbias = _shared_dbias(
+            q, k, v, bias, mask, g, lse, dd, scale, causal,
+            Bq, Bk, n_q, n_k, Tq, Tk, interpret,
+        ).astype(bias.dtype)
 
     # ---- dK / dV
     in_specs, args = common_specs("k")
@@ -565,6 +696,40 @@ def _bwd(scale, causal, residuals, g):
 
 
 flash_attention_flat.defvjp(_fwd, _bwd)
+
+
+# -------------------------------------------------- (out, lse) variant
+# Differentiable flash that also returns the logsumexp residual, so callers
+# that merge partial attention results with online-softmax statistics (ring
+# attention's per-ring-step combine) can differentiate THROUGH the merge.
+# The lse cotangent folds into the standard backward as dd -> dd - g_lse
+# (see _flash_backward).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_with_lse(q, k, v, bias, mask, scale, causal):
+    """(out (BH, Tq, D), lse (BH, Tq, 1) f32); shapes as flash_attention_flat."""
+    return _flash_forward(q, k, v, bias, mask, scale, causal, return_lse=True)
+
+
+def _fwd_lse(q, k, v, bias, mask, scale, causal):
+    out, lse = _flash_forward(q, k, v, bias, mask, scale, causal,
+                              return_lse=True)
+    return (out, lse), (q, k, v, bias, mask, out, lse)
+
+
+def _bwd_lse(scale, causal, residuals, g):
+    q, k, v, bias, mask, out, lse = residuals
+    g_out, g_lse = g
+    dq, dk, dv, dbias = _flash_backward(
+        q, k, v, bias, mask, out, lse, g_out, scale, causal, g_lse=g_lse
+    )
+    if bias is None:
+        dbias = None
+    return dq, dk, dv, dbias, None
+
+
+flash_attention_with_lse.defvjp(_fwd_lse, _bwd_lse)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -183,12 +183,55 @@ def ln_supported(E: int) -> bool:
     return E % 128 == 0 and jax.default_backend() in ("tpu", "axon")
 
 
+# ------------------------------------------------- hybrid (XLA fwd, Pallas bwd)
+# The full Pallas LN lost the in-context A/B because the forward kernel
+# boundary broke XLA's producer/consumer fusions (module docstring). The
+# backward is a different trade: the profile shows LN-backward fusions at
+# ~13% of train-step device time, already standing alone. This variant
+# keeps the forward as plain jnp math (XLA fuses it exactly as before) and
+# routes only the backward through the one-pass Pallas kernel.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def hybrid_layer_norm(x, g, b, eps):
+    """(N, E) LayerNorm: XLA-fusable forward, Pallas backward."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * g + b).astype(x.dtype)
+
+
+def _hln_fwd(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    y = ((xf - mu) * rstd * g + b).astype(x.dtype)
+    return y, (x, g, mu, rstd)
+
+
+def _hln_bwd(eps, res, dy):
+    x, g, mu, rstd = res
+    dx, dg, db = _ln_backward(x, g, mu, rstd, dy)
+    return dx, dg.astype(g.dtype), db.astype(g.dtype)
+
+
+hybrid_layer_norm.defvjp(_hln_fwd, _hln_bwd)
+
+
 class FusedLayerNorm(nn.Module):
     """Drop-in for nn.LayerNorm (same param names/init/numerics); routes
-    lane-aligned shapes through the Pallas kernel on TPU, XLA otherwise."""
+    lane-aligned shapes through the Pallas kernel on TPU, XLA otherwise.
+
+    mode: "fused"  — Pallas forward AND backward (the full kernel; loses
+                     the in-context A/B, see module docstring)
+          "hybrid" — XLA-fusable forward, Pallas backward only
+    """
 
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    mode: str = "fused"
 
     @nn.compact
     def __call__(self, x):
@@ -203,7 +246,6 @@ class FusedLayerNorm(nn.Module):
             y = y * scale + bias
             return y.astype(self.dtype or x.dtype)
         shape = x.shape
-        y = fused_layer_norm(
-            x.reshape(-1, E), scale, bias, self.epsilon
-        )
+        fn = hybrid_layer_norm if self.mode == "hybrid" else fused_layer_norm
+        y = fn(x.reshape(-1, E), scale, bias, self.epsilon)
         return y.reshape(shape).astype(self.dtype or x.dtype)

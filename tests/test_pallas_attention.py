@@ -4,7 +4,12 @@ import numpy as np
 import pytest
 
 from ofasys_tpu.ops.attention import causal_mask, dot_product_attention
-from ofasys_tpu.ops.pallas_attention import flash_attention, flash_supported
+from ofasys_tpu.ops.pallas_attention import (
+    MASK_VALUE,
+    flash_attention,
+    flash_attention_with_lse,
+    flash_supported,
+)
 
 
 def rand(shape, key, dtype=jnp.float32):
@@ -145,6 +150,50 @@ def test_flash_gradients_shared_bias_batched():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b in zip(gf, gr):
         assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def _xla_out_lse(q, k, v, bias, mask, scale, causal):
+    """fp32 (out, lse) reference on flat (BH, T, D) operands."""
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    if bias is not None:
+        b = bias if bias.shape[0] == q.shape[0] else jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1))
+        s = s + b.astype(jnp.float32)
+    if mask is not None:
+        s = jnp.where(mask != 0, s, MASK_VALUE)
+    if causal:
+        Tq, Tk = s.shape[-2:]
+        s = jnp.where(jnp.arange(Tk)[None, :] <= jnp.arange(Tq)[:, None] + (Tk - Tq), s, MASK_VALUE)
+    lse = jax.nn.logsumexp(s, axis=-1, keepdims=True)
+    o = jnp.einsum("bqk,bkd->bqd", jnp.exp(s - lse), v.astype(jnp.float32))
+    return o.astype(q.dtype), lse
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_with_lse_forward_and_grads(causal):
+    """flash_attention_with_lse must return the true logsumexp AND
+    propagate the lse cotangent (ds += g_lse * p) — the contract ring
+    attention's differentiable online merge depends on."""
+    BH, T, D = 4, 128, 32
+    H = 2
+    q, k, v = rand((BH, T, D), 0), rand((BH, T, D), 1), rand((BH, T, D), 2)
+    bias = rand((H, T, T), 3) * 0.3
+    go, gl = rand((BH, T, D), 4), rand((BH, T, 1), 5)
+
+    out, lse = flash_attention_with_lse(q, k, v, bias, None, 0.2, causal)
+    ref_out, ref_lse = _xla_out_lse(q, k, v, bias, None, 0.2, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), rtol=1e-5, atol=1e-5)
+
+    def loss(f):
+        def inner(q, k, v, bias):
+            o, l = f(q, k, v, bias, None, 0.2, causal)
+            return (o.astype(jnp.float32) * go).sum() + (l * gl).sum()
+        return inner
+
+    gf = jax.grad(loss(flash_attention_with_lse), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss(_xla_out_lse), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 

@@ -64,3 +64,44 @@ def test_fused_ln_module_drop_in():
         np.asarray(m_fused.apply(p, x)), np.asarray(m_ref.apply(p, x)),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_hybrid_ln_matches_reference():
+    """hybrid_layer_norm: XLA forward must equal the reference exactly;
+    the Pallas backward must match reference gradients."""
+    from ofasys_tpu.ops.pallas_layernorm import hybrid_layer_norm
+
+    N, E = 200, 256
+    x = jax.random.normal(jax.random.PRNGKey(7), (N, E), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(8), (E,), jnp.float32) + 1.0
+    b = jax.random.normal(jax.random.PRNGKey(9), (E,), jnp.float32) * 0.1
+
+    np.testing.assert_allclose(
+        np.asarray(hybrid_layer_norm(x, g, b, 1e-5)),
+        np.asarray(_ref_ln(x, g, b, 1e-5)), rtol=1e-6, atol=1e-6)
+
+    gf = jax.grad(lambda x, g, b: (hybrid_layer_norm(x, g, b, 1e-5) ** 2).sum(),
+                  argnums=(0, 1, 2))(x, g, b)
+    gr = jax.grad(lambda x, g, b: (_ref_ln(x, g, b, 1e-5) ** 2).sum(),
+                  argnums=(0, 1, 2))(x, g, b)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-4)
+
+
+def test_ln_impl_config_equivalence():
+    """A tiny model forward is identical under ln_impl xla/hybrid (same
+    params, same math) — the flag only changes the backward implementation."""
+    from ofasys_tpu.model.config import GeneralistModelConfig
+    from ofasys_tpu.model.transformer import TransformerEncoderLayer
+
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 16, 256), jnp.float32)
+    outs = {}
+    params = None
+    for impl in ("xla", "hybrid"):
+        cfg = GeneralistModelConfig(arch="tiny", ln_impl=impl)
+        layer = TransformerEncoderLayer(cfg, dtype=jnp.float32)
+        if params is None:
+            params = layer.init(jax.random.PRNGKey(11), x)
+        outs[impl] = layer.apply(params, x)
+    np.testing.assert_allclose(np.asarray(outs["xla"]), np.asarray(outs["hybrid"]),
+                               rtol=2e-5, atol=2e-5)
