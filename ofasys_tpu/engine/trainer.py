@@ -109,7 +109,8 @@ class Trainer:
             model.cfg.pipeline_stages = cfg.parallel.pipeline
             model.cfg.scan_layers = True
         model.initialize(global_dict, active_adaptors=tuple(adaptors), dtype=dtype,
-                         mesh=self.mesh if model.cfg.pipeline_stages > 1 else None)
+                         mesh=self.mesh if (model.cfg.pipeline_stages > 1
+                                           or getattr(model.cfg, 'sequence_parallel', False)) else None)
 
         # multi-host: adopt the jax process topology for data sharding
         # (reference distributed_init rank/world, distributed/utils.py:210)

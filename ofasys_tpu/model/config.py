@@ -74,6 +74,10 @@ class GeneralistModelConfig(BaseDataclass):
     # requires scan_layers (stacked layout) and layers %% stages == 0
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0     # 0 -> = pipeline_stages
+    # context parallelism: route training self-attention through ring
+    # attention over the 'sequence' mesh axis (parallel/ring_attention.py);
+    # needs the device mesh at initialize() and T divisible by the axis size
+    sequence_parallel: bool = False
 
     def __post_init__(self):
         # apply the arch preset only when the stacks are untouched defaults —

@@ -125,6 +125,12 @@ class MultiheadAttention(nn.Module):
     scale_heads: bool = True
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
+    # context parallelism (cfg.sequence_parallel): self-attention in the
+    # training path routes through parallel.ring_attention over the
+    # 'sequence' mesh axis when shapes divide; composes with data ('data',
+    # 'fsdp' batch axes) and tensor ('tensor' head axis) parallelism
+    mesh: Any = None
+    seq_parallel: bool = False
 
     @nn.compact
     def __call__(
@@ -173,12 +179,34 @@ class MultiheadAttention(nn.Module):
         if dropout > 0.0:
             dropout_rng = self.make_rng("dropout")
         Tq_, Tk_ = q.shape[1], k.shape[1]
+        ring_ok = False
+        if (self.seq_parallel and self.mesh is not None
+                and "sequence" in self.mesh.shape and self.mesh.shape["sequence"] > 1):
+            n_seq = self.mesh.shape["sequence"]
+            dp = self.mesh.shape.get("data", 1) * self.mesh.shape.get("fsdp", 1)
+            tp = self.mesh.shape.get("tensor", 1)
+            ring_ok = (
+                cache is None and key_value is None and dropout == 0.0
+                and Tq_ == Tk_ and Tq_ % n_seq == 0
+                and B % dp == 0 and self.num_heads % tp == 0
+                and (mask is None or (mask.ndim == 4 and mask.shape[1] == 1
+                                      and mask.shape[2] == 1 and mask.shape[0] == B))
+            )
         flash_ok = (
-            use_flash and cache is None and dropout == 0.0
+            not ring_ok
+            and use_flash and cache is None and dropout == 0.0
             and _flash_available() and flash_supported(Tq_, Tk_, head_dim, dropout)
             and (mask is None or (mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1))
         )
-        if flash_ok:
+        if ring_ok:
+            from ofasys_tpu.parallel.ring_attention import ring_attention
+
+            x = ring_attention(
+                q, k, v, self.mesh, scale=scaling, causal=causal,
+                bias=bias, mask=mask,
+                batch_axis=("data", "fsdp"), head_axis="tensor",
+            ).astype(self.dtype)
+        elif flash_ok:
             from ofasys_tpu.ops.pallas_attention import flash_attention
 
             x = flash_attention(
@@ -305,6 +333,7 @@ class TransformerEncoderLayer(nn.Module):
     cfg: GeneralistModelConfig
     drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
+    mesh: Any = None           # for cfg.sequence_parallel ring attention
 
     @nn.compact
     def __call__(
@@ -330,6 +359,7 @@ class TransformerEncoderLayer(nn.Module):
             cfg.encoder.embed_dim, cfg.encoder.attention_heads,
             scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
+            mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
         )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
           deterministic=deterministic)
         if cfg.scale_attn:
@@ -360,6 +390,7 @@ class TransformerDecoderLayer(nn.Module):
     cfg: GeneralistModelConfig
     drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
+    mesh: Any = None           # for cfg.sequence_parallel ring attention
 
     @nn.compact
     def __call__(
@@ -391,6 +422,7 @@ class TransformerDecoderLayer(nn.Module):
             cfg.decoder.embed_dim, cfg.decoder.attention_heads,
             scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
+            mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
         )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
@@ -460,6 +492,7 @@ class _EncoderScanBody(nn.Module):
     deterministic: bool
     modal_spans: Any
     dtype: Any = jnp.bfloat16
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, xs, attn_mask, tables, bucket, abs_bias):
@@ -468,7 +501,7 @@ class _EncoderScanBody(nn.Module):
         layer_cls = TransformerEncoderLayer
         if self.cfg.remat == "full":
             layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))
-        layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, name="layer")
+        layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, mesh=self.mesh, name="layer")
         x = layer(x, attn_mask, bias, self.deterministic, self.modal_spans, dpr)
         return x, None
 
@@ -482,6 +515,7 @@ class _DecoderScanBody(nn.Module):
     modal_spans: Any
     full_context: bool
     dtype: Any = jnp.bfloat16
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, xs, encoder_out, self_mask, cross_mask, cross_bias,
@@ -491,7 +525,7 @@ class _DecoderScanBody(nn.Module):
         layer_cls = TransformerDecoderLayer
         if self.cfg.remat == "full":
             layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(7, 9, 10))
-        layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, name="layer")
+        layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, mesh=self.mesh, name="layer")
         x, _ = layer(x, encoder_out, self_mask, self_bias, cross_mask, cross_bias,
                      self.deterministic, None, self.modal_spans, self.full_context, dpr)
         return x, None
@@ -571,7 +605,8 @@ class TransformerEncoder(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=n_layers,
-            )(cfg, deterministic, modal_spans, dtype=self.dtype, name="layers_scan")
+            )(cfg, deterministic, modal_spans, dtype=self.dtype,
+              mesh=self.mesh, name="layers_scan")
             xs = (jnp.arange(n_layers), jnp.asarray(dpr, jnp.float32))
             x, _ = scan(x, xs, attn_mask, tables, bucket, abs_bias)
         else:
@@ -580,7 +615,8 @@ class TransformerEncoder(nn.Module):
                 # deterministic (3) and modal_spans (4) are static python values
                 layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))
             for i in range(n_layers):
-                layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
+                layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype,
+                                  mesh=self.mesh, name=f"layers_{i}")
                 bias = bias_spec.layer_bias(i) if bias_spec is not None else None
                 x = layer(x, attn_mask, bias, deterministic, modal_spans)
         if cfg.encoder.normalize_before:
@@ -701,7 +737,7 @@ class TransformerDecoder(nn.Module):
                 in_axes=(0,) + (nn.broadcast,) * 7,
                 length=n_layers,
             )(cfg, deterministic, modal_spans, full_context, dtype=self.dtype,
-              name="layers_scan")
+              mesh=self.mesh, name="layers_scan")
             xs = (jnp.arange(n_layers), jnp.asarray(dpr, jnp.float32))
             x, _ = scan(x, xs, encoder_out, self_mask, cross_mask, cross_bias,
                         tables, bucket, abs_bias)

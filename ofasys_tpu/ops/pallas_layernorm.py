@@ -186,10 +186,16 @@ def ln_supported(E: int) -> bool:
 # ------------------------------------------------- hybrid (XLA fwd, Pallas bwd)
 # The full Pallas LN lost the in-context A/B because the forward kernel
 # boundary broke XLA's producer/consumer fusions (module docstring). The
-# backward is a different trade: the profile shows LN-backward fusions at
-# ~13% of train-step device time, already standing alone. This variant
-# keeps the forward as plain jnp math (XLA fuses it exactly as before) and
-# routes only the backward through the one-pass Pallas kernel.
+# backward looked like a different trade: the profile shows LN-backward
+# fusions at ~13% of train-step device time, apparently standing alone.
+# This variant keeps the forward as plain jnp math (XLA fuses it exactly
+# as before) and routes only the backward through the one-pass Pallas
+# kernel. MEASURED (mixed multi-task bench, v5e, BENCH_LN=hybrid):
+# 1195 vs 1341 samples/s — the backward kernel boundary ALSO regresses
+# (-11%); those "LN backward" fusions evidently absorb neighboring
+# backward elementwise work that then needs its own kernels. Verdict:
+# ln_impl stays 'xla' by default; both kernels remain for odd stacks
+# where XLA fusion is unavailable.
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

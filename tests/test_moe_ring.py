@@ -79,6 +79,44 @@ def test_ring_attention_flash_inner_matches_full():
 
 
 @pytest.mark.parametrize("use_flash", [False, True])
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_bias_mask(use_flash, causal):
+    """Additive bias (rows sharded with q, columns sliced per ring step)
+    and key padding mask parity with dense attention, fwd + grads; batch
+    sharded over 'data' composes in the same shard_map."""
+    from ofasys_tpu.ops.attention import causal_mask as cmask
+
+    rng = np.random.default_rng(6)
+    B, T, H, D = 2, 64, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((1, H, T, T)), jnp.float32) * 0.5
+    keep = jnp.asarray(rng.random((B, T)) > 0.2).at[:, 0].set(True)
+    mask = keep[:, None, None, :]
+    mesh = build_mesh(ParallelConfig(data=2, sequence=4, fsdp=1, tensor=1))
+
+    def ring(q, k, v, bias):
+        return ring_attention(q, k, v, mesh, scale=0.2, use_flash=use_flash,
+                              causal=causal, bias=bias, mask=mask,
+                              batch_axis="data")
+
+    def dense(q, k, v, bias):
+        m = jnp.logical_and(mask, cmask(T, T)) if causal else mask
+        return dot_product_attention(q, k, v, bias=bias, mask=m, scale=0.2)
+
+    out = ring(q, k, v, bias)
+    ref = dense(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    g = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    gr = jax.grad(lambda *a: (ring(*a) * g).sum(), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gd = jax.grad(lambda *a: (dense(*a) * g).sum(), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gr, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("use_flash", [False, True])
 def test_ring_attention_causal_matches_full(use_flash):
     """Causal ring: upper-triangle ring steps are skipped via lax.cond, the
     diagonal step applies the local causal mask — parity with dense causal

@@ -83,3 +83,83 @@ def test_param_sharding_rules_applied():
     assert emb and emb[0].spec == P("tensor", "fsdp")
     lns = [v for k, v in flat.items() if "layer_norm/scale" in k]
     assert lns and all(all(a is None for a in s.spec) for s in lns)
+
+
+def test_sequence_parallel_model_matches_dense(monkeypatch):
+    """cfg.sequence_parallel routes training self-attention through ring
+    attention over the 'sequence' mesh axis (composed with 'data' DP in the
+    same shard_map): one train step must match the dense single-device step,
+    and the ring path must actually have been traced."""
+    import ofasys_tpu.parallel.ring_attention as ring_mod
+    from ofasys_tpu import GeneralistModel, ModalityType
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.utils.pytree import SlotBatch
+
+    calls = {"n": 0}
+    orig = ring_mod.ring_attention
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ring_mod, "ring_attention", counting)
+
+    d = Dictionary()
+    for i in range(60):
+        d.add_symbol(f"<text>_{i}")
+    d.pad_to_multiple_(8)
+
+    def build(seq_parallel, mesh):
+        m = GeneralistModel(arch="tiny")
+        m.cfg.encoder.layers = m.cfg.decoder.layers = 2
+        m.cfg.dropout = 0.0
+        m.cfg.sequence_parallel = seq_parallel
+        m.initialize(d, active_adaptors=("text",), dtype=jnp.float32,
+                     mesh=mesh if seq_parallel else None)
+        return m
+
+    # enc T=8 and dec T=8, both divisible by the sequence axis (4)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(d.nspecial, d.nspecial + 50, size=(8, 8)).astype(np.int32)
+    prev = np.concatenate([np.full((8, 1), d.bos(), np.int32), toks[:, :-1]], 1)
+    target = np.concatenate([toks[:, 1:], np.full((8, 1), d.eos(), np.int32)], 1)
+    batch = {
+        "net_input": {"slots": [
+            SlotBatch(ModalityType.TEXT, True, {"inputs": jnp.asarray(toks)}, "src"),
+            SlotBatch(ModalityType.TEXT, False, {"inputs": jnp.asarray(prev)}, "tgt"),
+        ]},
+        "target": jnp.asarray(target),
+    }
+    crit = LabelSmoothedCrossEntropyCriterion(
+        LabelSmoothedCrossEntropyCriterionConfig(label_smoothing=0.1), pad_id=d.pad()
+    )
+    optimizer = build_optimizer(
+        OptimizationConfig(lr=(1e-2,), optimizer="sgd", lr_scheduler="fixed", clip_norm=0.0),
+        total_num_update=10,
+    )
+
+    # dense single-device reference
+    m0 = build(False, None)
+    params = m0.init_params(jax.random.PRNGKey(0), batch["net_input"]["slots"])
+    step0 = make_train_step(m0, crit, optimizer)
+    s0 = TrainState.create(params, optimizer)
+    s0, met0 = jax.jit(step0)(s0, batch, jax.random.PRNGKey(7))
+    assert calls["n"] == 0
+
+    # sequence-parallel over data=2 x sequence=4
+    mesh = build_mesh(ParallelConfig(data=2, sequence=4, fsdp=1, tensor=1))
+    m1 = build(True, mesh)
+    params1 = m1.init_params(jax.random.PRNGKey(0), batch["net_input"]["slots"])
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    step1 = make_train_step(m1, crit, optimizer)
+    s1 = TrainState.create(params1, optimizer)
+    s1 = shard_tree(s1, mesh)
+    sharded_step = make_sharded_train_step(step1, mesh, s1, batch, donate=False)
+    db = put_batch(batch, mesh)
+    s1, met1 = sharded_step(s1, db, jax.random.PRNGKey(7))
+    assert calls["n"] > 0, "ring attention path was never traced"
+
+    np.testing.assert_allclose(float(met0["loss"]), float(met1["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
