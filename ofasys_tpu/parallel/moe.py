@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def top1_routing(
@@ -95,7 +95,7 @@ def moe_ffn_sharded(
         shard_map, mesh=mesh,
         in_specs=(P("expert"), P(), P("expert"), P("expert")),
         out_specs=(P("expert"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run(xs, rw, w1s, w2s):
         n_local, D = xs.shape

@@ -30,7 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ofasys_tpu.ops.pallas_attention import (
     flash_attention_with_lse,
@@ -136,7 +136,7 @@ def ring_attention(
         shard_map, mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=P(ba, axis, ha, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(q, k, v, *extra):
         it = iter(extra)

@@ -163,3 +163,55 @@ def test_sequence_parallel_model_matches_dense(monkeypatch):
     np.testing.assert_allclose(float(met0["loss"]), float(met1["loss"]), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_sequence_parallel_scan_layers(monkeypatch):
+    """sequence_parallel must also work under scan-over-layers (the mesh is
+    threaded through the scan body): forward parity with the same stacked
+    params run dense."""
+    import ofasys_tpu.parallel.ring_attention as ring_mod
+    from ofasys_tpu import GeneralistModel, ModalityType
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.utils.pytree import SlotBatch
+
+    calls = {"n": 0}
+    orig = ring_mod.ring_attention
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ring_mod, "ring_attention", counting)
+
+    d = Dictionary()
+    for i in range(60):
+        d.add_symbol(f"<text>_{i}")
+    d.pad_to_multiple_(8)
+    mesh = build_mesh(ParallelConfig(data=2, sequence=4, fsdp=1, tensor=1))
+
+    def build(seq_parallel):
+        m = GeneralistModel(arch="tiny")
+        m.cfg.encoder.layers = m.cfg.decoder.layers = 2
+        m.cfg.dropout = 0.0
+        m.cfg.scan_layers = True
+        m.cfg.sequence_parallel = seq_parallel
+        m.initialize(d, active_adaptors=("text",), dtype=jnp.float32,
+                     mesh=mesh if seq_parallel else None)
+        return m
+
+    rng = np.random.default_rng(1)
+    toks = rng.integers(d.nspecial, d.nspecial + 50, size=(4, 8)).astype(np.int32)
+    prev = np.concatenate([np.full((4, 1), d.bos(), np.int32), toks[:, :-1]], 1)
+    slots = [
+        SlotBatch(ModalityType.TEXT, True, {"inputs": jnp.asarray(toks)}, "src"),
+        SlotBatch(ModalityType.TEXT, False, {"inputs": jnp.asarray(prev)}, "tgt"),
+    ]
+    m_sp = build(True)
+    params = m_sp.init_params(jax.random.PRNGKey(0), slots)
+    out_sp, _ = m_sp.apply(params, slots)
+    assert calls["n"] > 0, "ring path not traced under scan_layers"
+
+    m_dense = build(False)
+    out_dense, _ = m_dense.apply(params, slots)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_dense),
+                               rtol=2e-4, atol=2e-4)
