@@ -263,6 +263,11 @@ class GeneralistModel:
         self.global_dict = global_dict
         if self.cfg.pipeline_stages > 1 and not self.cfg.scan_layers:
             raise ValueError("pipeline_stages > 1 requires scan_layers=True (stacked layer params)")
+        if self.cfg.pipeline_stages > 1 and getattr(self.cfg, "sequence_parallel", False):
+            # ring attention's shard_map cannot nest inside pipeline_stack's
+            # partial-manual shard_map over the same mesh — fail at config
+            # time instead of deep inside the layer trace
+            raise ValueError("sequence_parallel cannot be combined with pipeline_stages > 1")
         self.net = GeneralistNet(
             cfg=self.cfg,
             vocab_size=len(global_dict),

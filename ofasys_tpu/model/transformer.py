@@ -45,13 +45,18 @@ LN_EPS = 1e-5
 def make_ln(cfg: "GeneralistModelConfig", dtype, name: str):
     """LayerNorm per cfg.ln_impl: 'xla' (nn.LayerNorm, compiler-fused),
     'hybrid' (XLA forward + Pallas backward), 'pallas' (Pallas both ways).
-    All three share parameter names ('scale'/'bias') and numerics."""
+    All three share parameter names ('scale'/'bias'). Numerics: identical
+    in f32; under bf16 compute, hybrid/pallas do the normalize+affine in
+    f32 and round once at the end, while nn.LayerNorm(dtype=bf16) rounds
+    intermediates to bf16 — a one-ulp-class divergence, not bitwise."""
     impl = getattr(cfg, "ln_impl", "xla")
     if impl in ("hybrid", "pallas"):
         from ofasys_tpu.ops.pallas_layernorm import FusedLayerNorm
 
         mode = "hybrid" if impl == "hybrid" else "fused"
         return FusedLayerNorm(epsilon=LN_EPS, dtype=dtype, mode=mode, name=name)
+    if impl != "xla":
+        raise ValueError(f"unknown ln_impl {impl!r}; expected 'xla', 'hybrid' or 'pallas'")
     return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=name)
 
 
@@ -192,6 +197,23 @@ class MultiheadAttention(nn.Module):
                 and (mask is None or (mask.ndim == 4 and mask.shape[1] == 1
                                       and mask.shape[2] == 1 and mask.shape[0] == B))
             )
+            if not ring_ok and cache is None and key_value is None:
+                # the user asked for sequence parallelism and this IS a
+                # training self-attention — falling back to dense replicates
+                # the full (B, H, T, T) scores on every device, silently
+                # defeating the feature (and likely OOMing at long T)
+                import warnings
+
+                warnings.warn(
+                    "sequence_parallel requested but ring attention gate "
+                    f"failed for self-attention (B={B}, T={Tq_}, "
+                    f"heads={self.num_heads}, dropout={dropout}, "
+                    f"mesh sequence={n_seq}, data*fsdp={dp}, tensor={tp}); "
+                    "falling back to DENSE attention. Check divisibility "
+                    "(T %% sequence, B %% data*fsdp, heads %% tensor) and "
+                    "attention_dropout == 0.",
+                    stacklevel=2,
+                )
         flash_ok = (
             not ring_ok
             and use_flash and cache is None and dropout == 0.0

@@ -718,12 +718,40 @@ def _fwd_lse(q, k, v, bias, mask, scale, causal):
     return (out, lse), (q, k, v, bias, mask, out, lse)
 
 
+def _xla_reference_lse(q, k, v, bias, mask, scale, causal):
+    """fp32 (out, lse) reference matching the kernel contract."""
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    if bias is not None:
+        b = bias if bias.shape[0] == q.shape[0] else jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1))
+        s = s + b.astype(jnp.float32)
+    if mask is not None:
+        s = jnp.where(mask != 0, s, MASK_VALUE)
+    if causal:
+        Tq, Tk = s.shape[-2:]
+        i = jnp.arange(Tq)[:, None]
+        j = jnp.arange(Tk)[None, :]
+        s = jnp.where(j <= i + (Tk - Tq), s, MASK_VALUE)
+    lse = jax.nn.logsumexp(s, axis=-1, keepdims=True)
+    o = jnp.einsum("bqk,bkd->bqd", jnp.exp(s - lse), v.astype(jnp.float32))
+    return o.astype(q.dtype), lse
+
+
 def _bwd_lse(scale, causal, residuals, g):
     q, k, v, bias, mask, out, lse = residuals
     g_out, g_lse = g
-    dq, dk, dv, dbias = _flash_backward(
-        q, k, v, bias, mask, out, lse, g_out, scale, causal, g_lse=g_lse
-    )
+    if os.environ.get("OFASYS_FLASH_XLA_BWD") == "1":
+        # same debugging fallback as the plain variant, covering the lse
+        # cotangent too
+        def f(q, k, v, bias):
+            o, l = _xla_reference_lse(q, k, v, bias, mask, scale, causal)
+            return o, l
+
+        _, vjp = jax.vjp(f, q, k, v, bias)
+        dq, dk, dv, dbias = vjp((g_out, g_lse))
+    else:
+        dq, dk, dv, dbias = _flash_backward(
+            q, k, v, bias, mask, out, lse, g_out, scale, causal, g_lse=g_lse
+        )
     if bias is None:
         dbias = None
     return dq, dk, dv, dbias, None

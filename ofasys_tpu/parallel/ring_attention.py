@@ -72,7 +72,8 @@ def _block_attn_flash(q, k, v, scale, causal=False, bias=None, mask=None):
     bf = None
     if bias is not None:
         # bias reads at the compute dtype: bf16 in production (halves HBM
-        # traffic, like the flash_attention wrapper), f32 when the inputs are
+        # traffic, like the flash_attention wrapper); f32 inputs keep the
+        # bias in f32 so full-precision callers lose nothing
         bf = (bias[0] if bias.shape[0] == 1            # (H, Tq, Tk) shared
               else bias.reshape(B * H, Tq, Tk)).astype(q.dtype)
     mf = None
@@ -166,23 +167,27 @@ def ring_attention(
         def body(s, carry):
             o_acc, lse_acc, k_cur, v_cur = carry
             j = jax.lax.rem(my - s + n, n)           # owner of the block
-            kw = step_inputs(j)
             if causal:
+                # bias/mask column slices happen INSIDE the compute branches
+                # so skipped upper-triangle steps pay neither FLOPs nor the
+                # slice copy
                 skip = (jnp.zeros((B, Tq, H, D), jnp.float32),
                         jnp.full((B, H, Tq), -jnp.inf, jnp.float32))
                 o_i, lse_i = jax.lax.cond(
                     j == my,
-                    lambda kv: block(q, kv[0], kv[1], scale, causal=True, **kw),
+                    lambda kv: block(q, kv[0], kv[1], scale, causal=True,
+                                     **step_inputs(j)),
                     lambda kv: jax.lax.cond(
                         j < my,
-                        lambda kv: block(q, kv[0], kv[1], scale, **kw),
+                        lambda kv: block(q, kv[0], kv[1], scale,
+                                         **step_inputs(j)),
                         lambda kv: skip,
                         kv,
                     ),
                     (k_cur, v_cur),
                 )
             else:
-                o_i, lse_i = block(q, k_cur, v_cur, scale, **kw)
+                o_i, lse_i = block(q, k_cur, v_cur, scale, **step_inputs(j))
             lse_new = jnp.logaddexp(lse_acc, lse_i)
             a_old = jnp.exp(lse_acc - lse_new)
             a_new = jnp.where(jnp.isfinite(lse_i), jnp.exp(lse_i - lse_new), 0.0)

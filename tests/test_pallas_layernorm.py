@@ -105,3 +105,12 @@ def test_ln_impl_config_equivalence():
         outs[impl] = layer.apply(params, x)
     np.testing.assert_allclose(np.asarray(outs["xla"]), np.asarray(outs["hybrid"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ln_impl_validation():
+    from ofasys_tpu.model.config import GeneralistModelConfig
+    from ofasys_tpu.model.transformer import make_ln
+
+    cfg = GeneralistModelConfig(arch="tiny", ln_impl="hybird")  # typo
+    with pytest.raises(ValueError, match="ln_impl"):
+        make_ln(cfg, jnp.float32, "ln")

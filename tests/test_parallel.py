@@ -215,3 +215,41 @@ def test_sequence_parallel_scan_layers(monkeypatch):
     out_dense, _ = m_dense.apply(params, slots)
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_dense),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sequence_parallel_guards():
+    """pipeline + sequence_parallel is rejected at initialize(); an
+    indivisible shape under sequence_parallel warns about the dense
+    fallback instead of silently defeating the feature."""
+    from ofasys_tpu import GeneralistModel, ModalityType
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.utils.pytree import SlotBatch
+
+    d = Dictionary()
+    for i in range(60):
+        d.add_symbol(f"<text>_{i}")
+    d.pad_to_multiple_(8)
+
+    m = GeneralistModel(arch="tiny")
+    m.cfg.scan_layers = True
+    m.cfg.pipeline_stages = 2
+    m.cfg.sequence_parallel = True
+    with pytest.raises(ValueError, match="sequence_parallel"):
+        m.initialize(d, active_adaptors=("text",))
+
+    mesh = build_mesh(ParallelConfig(data=2, sequence=4, fsdp=1, tensor=1))
+    m2 = GeneralistModel(arch="tiny")
+    m2.cfg.encoder.layers = m2.cfg.decoder.layers = 1
+    m2.cfg.dropout = 0.0
+    m2.cfg.sequence_parallel = True
+    m2.initialize(d, active_adaptors=("text",), dtype=jnp.float32, mesh=mesh)
+    rng = np.random.default_rng(0)
+    # enc T=7: not divisible by sequence=4 -> dense fallback + warning
+    toks = rng.integers(d.nspecial, d.nspecial + 50, size=(4, 7)).astype(np.int32)
+    prev = np.concatenate([np.full((4, 1), d.bos(), np.int32), toks[:, :-1]], 1)
+    slots = [
+        SlotBatch(ModalityType.TEXT, True, {"inputs": jnp.asarray(toks)}, "src"),
+        SlotBatch(ModalityType.TEXT, False, {"inputs": jnp.asarray(prev)}, "tgt"),
+    ]
+    with pytest.warns(UserWarning, match="falling back to DENSE"):
+        params = m2.init_params(jax.random.PRNGKey(0), slots)
