@@ -14,6 +14,7 @@ import numpy as np
 from ofasys_tpu.generator.base import MotionOutput
 from ofasys_tpu.utils.pytree import SlotBatch
 from ofasys_tpu.model.diffusion import GaussianDiffusion
+from ofasys_tpu.ops.quant import as_variables as _vars
 
 
 class DiffusionGenerator:
@@ -58,12 +59,12 @@ class DiffusionGenerator:
         src_slots = [s for s in slots if s.is_src]
         tgt_idx = max(i for i, s in enumerate(slots) if not s.is_src)
         tgt = slots[tgt_idx]
-        enc = net.apply({"params": params}, src_slots, method=net.encode)
+        enc = net.apply(_vars(params), src_slots, method=net.encode)
         shape = tgt.value["value"].shape
 
         def denoise(x_t, t):
             noised = dataclasses.replace(tgt, value={**tgt.value, "value": x_t, "noise_level": t})
-            pred, _ = net.apply({"params": params}, [noised], enc,
+            pred, _ = net.apply(_vars(params), [noised], enc,
                                 method=net.decode_full, full_context=True)
             return pred.astype(jnp.float32)
 

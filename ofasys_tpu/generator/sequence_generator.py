@@ -29,6 +29,7 @@ from ofasys_tpu.generator import search
 from ofasys_tpu.generator.base import SequenceGeneratorOutput
 from ofasys_tpu.model.ofa import EncoderOut
 from ofasys_tpu.utils.pytree import SlotBatch
+from ofasys_tpu.ops.quant import as_variables as _vars
 
 NEG_INF = search.NEG_INF
 
@@ -194,7 +195,7 @@ class SequenceGenerator:
                   max_len: int, prefix_len: int, mach=None):
         net = self.model.net
         K = self.beam_size
-        enc = net.apply({"params": params}, src_slots, method=net.encode)
+        enc = net.apply(_vars(params), src_slots, method=net.encode)
         B = enc.x.shape[0]
         N = B * K
         enc = EncoderOut(
@@ -207,7 +208,7 @@ class SequenceGenerator:
             tgt_slot, value={"inputs": jnp.zeros((N, T_buf), jnp.int32)}
         )
         bias_spec, cross_bias, cache = net.apply(
-            {"params": params}, [dummy], enc, T_buf, method=net.decode_prepare
+            _vars(params), [dummy], enc, T_buf, method=net.decode_prepare
         )
 
         seq = jnp.full((B, K, T_buf), self.pad, jnp.int32).at[:, :, 0].set(self.bos)
@@ -230,7 +231,7 @@ class SequenceGenerator:
                 carry_seq.reshape(N, T_buf), step, 1, axis=1
             )
             logits, _, new_cache = net.apply(
-                {"params": params}, tokens, step, enc, bias_spec, cross_bias, cache,
+                _vars(params), tokens, step, enc, bias_spec, cross_bias, cache,
                 tgt_slot, method=net.decode_step,
             )
             return logits[:, -1].astype(jnp.float32), new_cache

@@ -18,6 +18,7 @@ import numpy as np
 
 from ofasys_tpu.generator.base import SpeechGeneratorOutput
 from ofasys_tpu.utils.pytree import SlotBatch
+from ofasys_tpu.ops.quant import as_variables as _vars
 
 
 class AutoRegressiveSpeechGenerator:
@@ -59,14 +60,14 @@ class AutoRegressiveSpeechGenerator:
 
     def _generate(self, params, src_slots, tgt_slot, rng):
         net = self.model.net
-        enc = net.apply({"params": params}, src_slots, method=net.encode)
+        enc = net.apply(_vars(params), src_slots, method=net.encode)
         B = enc.x.shape[0]
         T = self.max_iter
         dummy = dataclasses.replace(
             tgt_slot, value={"inputs": jnp.zeros((B, T + 1, self.out_dim), jnp.float32)}
         )
         bias_spec, cross_bias, cache = net.apply(
-            {"params": params}, [dummy], enc, T + 1, method=net.decode_prepare
+            _vars(params), [dummy], enc, T + 1, method=net.decode_prepare
         )
 
         frames = jnp.zeros((B, T + 1, self.out_dim), jnp.float32)  # frame 0 = zero "go" frame
@@ -83,7 +84,7 @@ class AutoRegressiveSpeechGenerator:
             cur = jax.lax.dynamic_slice_in_dim(frames, step, 1, axis=1)    # (B,1,M)
             rng, sub = jax.random.split(rng)
             mel, extra, cache = net.apply(
-                {"params": params}, cur, step, enc, bias_spec, cross_bias, cache,
+                _vars(params), cur, step, enc, bias_spec, cross_bias, cache,
                 tgt_slot, method=net.decode_step, rngs={"dropout": sub},
             )
             eos_p = jax.nn.sigmoid(extra["eos_logits"][:, -1])             # (B,)

@@ -91,6 +91,25 @@ class OFASys:
         return cls(trainer.model, trainer.state.params, trainer.global_dict, gp,
                    {t.name: t for t in (tasks or [])})
 
+    # -------------------------------------------------------- quantization
+    def quantize(self, mode: str = "w8a8", **kwargs) -> "OFASys":
+        """Switch to int8 serving IN PLACE (ops/quant.py): matched matmul
+        kernels move to an int8 ``qkern`` collection (halving their HBM
+        bytes) and ``mode`` selects 'w8a8' (int8 MXU contraction) or 'w8'
+        (dequantize to bf16). TPU-only win; training state is unaffected
+        (quantize from a *copy* of trained params). Returns self."""
+        from ofasys_tpu.ops.quant import quantize_for_serving
+
+        if not (isinstance(self.params, dict) and "qkern" in self.params):
+            self.params = quantize_for_serving(
+                self.params.get("params", self.params)
+                if isinstance(self.params, dict) else self.params,
+                **kwargs,
+            )
+        self.model.cfg.quant_mode = mode
+        self._generators.clear()   # generators close over jitted shapes/cfg
+        return self
+
     # ----------------------------------------------------------- inference
     def inference(
         self,

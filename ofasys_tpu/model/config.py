@@ -78,6 +78,12 @@ class GeneralistModelConfig(BaseDataclass):
     # attention over the 'sequence' mesh axis (parallel/ring_attention.py);
     # needs the device mesh at initialize() and T divisible by the axis size
     sequence_parallel: bool = False
+    # int8 serving (ops/quant.py): matmul mode used when the variables
+    # passed to apply/generate carry a 'qkern' collection (the output of
+    # quantize_for_serving). 'w8a8' contracts on the int8 MXU (~2x bf16
+    # peak, dynamic per-row activation quant); 'w8' dequantizes to the
+    # compute dtype instead. Inert during training / without qkern.
+    quant_mode: str = "w8a8"
 
     def __post_init__(self):
         # apply the arch preset only when the stacks are untouched defaults —

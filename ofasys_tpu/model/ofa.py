@@ -26,6 +26,7 @@ import numpy as np
 from ofasys_tpu.adaptor.general import GeneralAdaptor, resolve_adaptor_name
 from ofasys_tpu.configure import ConfigStore, register_config
 from ofasys_tpu.model.config import GeneralistModelConfig, apply_arch
+from ofasys_tpu.ops.quant import QuantEmbed, as_variables
 from ofasys_tpu.model.transformer import (
     BiasSpec,
     MultiheadAttention,
@@ -62,7 +63,9 @@ class GeneralistNet(nn.Module):
         cfg = self.cfg
         E = cfg.encoder.embed_dim
         # BERT-style init (reference model/ofa.py init_bert_params usage)
-        self.embed_tokens = nn.Embed(
+        # QuantEmbed == nn.Embed for training; its attend() consumes an
+        # int8 logits table when serving variables carry one (ops/quant.py)
+        self.embed_tokens = QuantEmbed(
             self.vocab_size, E, param_dtype=jnp.float32, dtype=self.dtype,
             embedding_init=nn.initializers.normal(0.02), name="embed_tokens",
         )
@@ -177,23 +180,39 @@ class GeneralistNet(nn.Module):
         # instead of re-projecting enc.x every step (reference incremental
         # static_kv path, module/multihead_attention.py:150-180)
         dec_params = self.decoder.variables["params"]
+        dec_qkern = dict(self.decoder.variables.get("qkern", {}))
         xs = enc.x.astype(self.dtype)
 
-        def _proj(layer_params, name):
-            w = layer_params[name]["kernel"].astype(self.dtype)
+        def _proj(layer_params, layer_qkern, name):
             b = layer_params[name]["bias"].astype(self.dtype)
-            return (xs @ w + b).reshape(B, -1, H, head_dim)
+            if "kernel" in layer_params[name]:
+                y = xs @ layer_params[name]["kernel"].astype(self.dtype)
+            else:
+                # kernel moved to the int8 'qkern' collection (ops/quant.py
+                # quantize_for_serving): run the quantized matmul instead
+                from ofasys_tpu.ops.quant import int8_matmul
+
+                y = int8_matmul(
+                    xs, layer_qkern[name]["q"], layer_qkern[name]["scale"],
+                    mode=getattr(cfg, "quant_mode", "w8a8"), out_dtype=self.dtype,
+                )
+            return (y + b).reshape(B, -1, H, head_dim)
 
         cache = {}
         for i in range(cfg.decoder.layers):
             if cfg.scan_layers:
                 stacked = dec_params["layers_scan"]["layer"]["encoder_attn"]
                 lp = jax.tree.map(lambda a: a[i], stacked)
+                qstack = (
+                    dec_qkern.get("layers_scan", {}).get("layer", {}).get("encoder_attn")
+                )
+                qk = None if qstack is None else jax.tree.map(lambda a: a[i], qstack)
             else:
                 lp = dec_params[f"layers_{i}"]["encoder_attn"]
+                qk = dec_qkern.get(f"layers_{i}", {}).get("encoder_attn")
             cache[f"layers_{i}"] = {
                 "self": MultiheadAttention.init_cache(B, max_len, H, head_dim, self.dtype),
-                "cross": {"k": _proj(lp, "k_proj"), "v": _proj(lp, "v_proj")},
+                "cross": {"k": _proj(lp, qk, "k_proj"), "v": _proj(lp, qk, "v_proj")},
             }
         return d.bias_spec, cb, cache
 
@@ -305,7 +324,7 @@ class GeneralistModel:
 
     def apply(self, params, slots: List[SlotBatch], deterministic: bool = True, rngs=None,
               full_context: bool = False):
-        return self.net.apply({"params": params}, slots, deterministic=deterministic,
+        return self.net.apply(as_variables(params), slots, deterministic=deterministic,
                               rngs=rngs, full_context=full_context)
 
     @property

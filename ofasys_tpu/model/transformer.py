@@ -32,6 +32,7 @@ import numpy as np
 from ofasys_tpu.model.config import GeneralistModelConfig
 from ofasys_tpu.ops.attention import causal_mask, dot_product_attention
 from ofasys_tpu.ops.pallas_attention import flash_supported
+from ofasys_tpu.ops.quant import QuantDense
 
 
 def _flash_available() -> bool:
@@ -136,6 +137,9 @@ class MultiheadAttention(nn.Module):
     # 'fsdp' batch axes) and tensor ('tensor' head axis) parallelism
     mesh: Any = None
     seq_parallel: bool = False
+    # int8 serving (ops/quant.py): how QuantDense consumes a 'qkern'
+    # collection when one is supplied; inert during training
+    qmode: str = "w8a8"
 
     @nn.compact
     def __call__(
@@ -155,8 +159,9 @@ class MultiheadAttention(nn.Module):
         scaling = float(head_dim * self.scale_factor) ** -0.5
         kv_in = query if key_value is None else key_value
 
-        dense = lambda name: nn.Dense(
-            self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        dense = lambda name: QuantDense(
+            self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+            qmode=self.qmode, name=name,
         )
         q = dense("q_proj")(query)
         B, Tq = q.shape[:2]
@@ -329,7 +334,10 @@ class FeedForward(nn.Module):
         modal_spans: Optional[Tuple[Tuple[int, int, int], ...]] = None,
     ):
         act = get_activation_fn(self.cfg.activation_fn)
-        dense = lambda feat, name: nn.Dense(feat, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        dense = lambda feat, name: QuantDense(
+            feat, dtype=self.dtype, param_dtype=jnp.float32,
+            qmode=getattr(self.cfg, "quant_mode", "w8a8"), name=name,
+        )
         act_drop = nn.Dropout(self.cfg.activation_dropout)
 
         def run(x, fc1_name, fc2_name):
@@ -382,6 +390,7 @@ class TransformerEncoderLayer(nn.Module):
             scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
             mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
+            qmode=getattr(cfg, "quant_mode", "w8a8"),
         )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
           deterministic=deterministic)
         if cfg.scale_attn:
@@ -445,6 +454,7 @@ class TransformerDecoderLayer(nn.Module):
             scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
             mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
+            qmode=getattr(cfg, "quant_mode", "w8a8"),
         )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
@@ -623,7 +633,7 @@ class TransformerEncoder(nn.Module):
             abs_bias = bias_spec.abs_bias if bias_spec is not None else None
             scan = nn.scan(
                 _EncoderScanBody,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "qkern": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=n_layers,
@@ -754,7 +764,7 @@ class TransformerDecoder(nn.Module):
             abs_bias = spec.abs_bias if spec is not None else None
             scan = nn.scan(
                 _DecoderScanBody,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "qkern": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(0,) + (nn.broadcast,) * 7,
                 length=n_layers,

@@ -19,6 +19,7 @@ from ofasys_tpu.configure import register_config
 from ofasys_tpu.preprocessor.utils import collate_tokens
 from ofasys_tpu.task.base import Task, TaskConfig
 from ofasys_tpu.utils.pytree import SlotBatch
+from ofasys_tpu.ops.quant import as_variables as _vars
 
 
 @dataclasses.dataclass
@@ -58,8 +59,8 @@ class TraverseTask(Task):
             def score(params, src_slots, tgt, target, pad_id):
                 from ofasys_tpu.ops.losses import token_log_probs
 
-                enc = net.apply({"params": params}, src_slots, method=net.encode)
-                out, _ = net.apply({"params": params}, [tgt], enc, method=net.decode_full)
+                enc = net.apply(_vars(params), src_slots, method=net.encode)
+                out, _ = net.apply(_vars(params), [tgt], enc, method=net.decode_full)
                 tok_lp = token_log_probs(out, target)
                 valid = target != pad_id
                 return jnp.where(valid, tok_lp, 0.0).sum(-1)

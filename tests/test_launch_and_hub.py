@@ -77,6 +77,15 @@ def test_hub_from_pretrained_roundtrip(tmp_path):
                          beam_size=2, max_len_b=8)
     assert len(outs) == 2
 
+    # int8 serving: quantize() in place, same inference API keeps working
+    hub.quantize("w8a8")
+    qout = hub.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "alpha"},
+                         beam_size=2, max_len_b=8)
+    assert isinstance(qout.text, str)
+    assert "qkern" in hub.params
+    hub.quantize("w8a8")  # idempotent — second call must not double-quantize
+    assert "qkern" in hub.params
+
 
 def test_example_yamls_parse_and_reference_registered_tasks():
     """Every shipped example config must parse through the launcher's YAML
