@@ -80,6 +80,10 @@ def build_model_and_batches():
     model.cfg.dropout = 0.0
     if os.environ.get("BENCH_LN"):           # A/B: xla | hybrid | pallas
         model.cfg.ln_impl = os.environ["BENCH_LN"]
+    if os.environ.get("BENCH_REMAT"):        # A/B: none | dots | full
+        model.cfg.remat = os.environ["BENCH_REMAT"]
+    if os.environ.get("BENCH_QT"):           # A/B: none | fwd (int8 training)
+        model.cfg.quant_training = os.environ["BENCH_QT"]
     model.initialize(
         d, active_adaptors=("text", "image_vit", "audio_fbank"), dtype=jnp.bfloat16
     )

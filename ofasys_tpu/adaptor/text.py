@@ -42,7 +42,10 @@ class TextAdaptor(BaseAdaptor):
             max_pos + 2, self.embed_dim, dtype=self.dtype,
             embedding_init=nn.initializers.normal(0.02), name="embed_positions",
         )
-        pos_embed = embed_positions(jnp.arange(T)[None, :])  # (1, T, E): same for all rows
+        # pos_offset: absolute position of tokens[:, 0] (incremental decode
+        # feeds mid-sequence windows via model.decode_step)
+        pos_offset = slot.value.get("pos_offset", 0) if isinstance(slot.value, dict) else 0
+        pos_embed = embed_positions(pos_offset + jnp.arange(T)[None, :])  # (1, T, E)
 
         embed = self.embed_tokens(tokens).astype(self.dtype)
 

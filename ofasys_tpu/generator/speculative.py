@@ -1,0 +1,266 @@
+"""Speculative (draft-verify) greedy decoding — TPU-first serving addition.
+
+No reference counterpart (the reference decodes one token per model call,
+ofasys/generator/sequence_generator.py:278-292). A small DRAFT model
+proposes ``gamma`` tokens autoregressively; the TARGET model scores all of
+them in ONE forward (the decoder's incremental path accepts multi-token
+steps with an in-step causal mask); the longest prefix on which the
+target's greedy choice agrees is accepted, plus one target "correction"
+token. Per loop iteration the sequence grows by 1..gamma+1 tokens at the
+cost of one target step — the target's sequential-step count (the
+latency-governing quantity for a large target) drops by the acceptance
+rate.
+
+EXACTNESS: for greedy decoding the output is token-identical to running
+the target alone (tested against SequenceGenerator beam_size=1) — the
+draft only decides how many target steps are needed, never what they
+produce. Batched: all rows advance by the MINIMUM acceptance across
+unfinished rows each iteration (lockstep keeps cache indices scalar);
+B=1 is the canonical latency-serving case.
+
+The whole decode (draft scan + verify + rollback) is one lax.while_loop
+jitted once per (B, max_len) — no per-token host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofasys_tpu.generator import search
+from ofasys_tpu.generator.base import SequenceGeneratorOutput
+from ofasys_tpu.model.ofa import EncoderOut
+from ofasys_tpu.ops.quant import as_variables as _vars
+from ofasys_tpu.utils.pytree import SlotBatch
+
+NEG_INF = search.NEG_INF
+
+
+def _set_self_index(cache: Dict[str, Any], value: jax.Array) -> Dict[str, Any]:
+    """Roll every layer's self-attention cache index back to ``value``
+    (entries above it are stale and will be overwritten)."""
+    out = {}
+    for name, layer in cache.items():
+        layer = dict(layer)
+        layer["self"] = dict(layer["self"], index=jnp.asarray(value, jnp.int32))
+        out[name] = layer
+    return out
+
+
+class SpeculativeGenerator:
+    """Greedy-only speculative decoding. ``draft_model`` must share the
+    target's vocabulary (same Dictionary); any smaller arch works — a
+    worse draft only lowers acceptance, never changes the output."""
+
+    def __init__(
+        self,
+        model,                      # target GeneralistModel (initialized)
+        draft_model,                # draft GeneralistModel (initialized, same vocab)
+        dictionary,
+        gamma: int = 4,             # draft tokens proposed per iteration
+        max_len_a: float = 0.0,
+        max_len_b: int = 200,
+        min_len: int = 1,
+        lenpen: float = 1.0,
+        constraint_range: Optional[str] = None,
+    ):
+        if gamma < 1:
+            raise ValueError("gamma must be >= 1")
+        self.model = model
+        self.draft_model = draft_model
+        self.dictionary = dictionary
+        self.bos = dictionary.bos()
+        self.eos = dictionary.eos()
+        self.pad = dictionary.pad()
+        self.gamma = gamma
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
+        self.min_len = min_len
+        self.lenpen = lenpen
+        self.constraint_start = self.constraint_end = None
+        if constraint_range:
+            lo, hi = constraint_range.split(",")
+            self.constraint_start, self.constraint_end = int(lo), int(hi)
+        self._compiled: Dict[Any, Any] = {}
+
+    # ----------------------------------------------------------- public API
+    def generate(self, params, draft_params, sample: Dict[str, Any]
+                 ) -> List[List[SequenceGeneratorOutput]]:
+        slots = sample["net_input"]["slots"]
+        src_slots = [s for s in slots if s.is_src]
+        tgt_slot = SlotBatch.target_slot(slots)
+        src_len = 0
+        for s in src_slots:
+            v = s.value if isinstance(s.value, dict) else {}
+            x = v.get("inputs")
+            if x is not None and getattr(x, "ndim", 0) == 2:
+                src_len = max(src_len, int(x.shape[1]))
+        max_len = int(self.max_len_a * src_len + self.max_len_b)
+        B = (src_slots[0].value["inputs"].shape[0]
+             if isinstance(src_slots[0].value, dict)
+             else next(iter(src_slots[0].value.values())).shape[0])
+
+        key = (B, max_len)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                functools.partial(self._generate, max_len=max_len)
+            )
+        seqs, scores = self._compiled[key](params, draft_params, src_slots, tgt_slot)
+        seqs, scores = np.asarray(seqs), np.asarray(scores)
+
+        out: List[List[SequenceGeneratorOutput]] = []
+        for b in range(B):
+            toks = seqs[b, 1:]  # drop bos
+            eos_pos = np.nonzero(toks == self.eos)[0]
+            if eos_pos.size:
+                toks = toks[: eos_pos[0] + 1]
+            out.append([SequenceGeneratorOutput(tokens=toks, score=float(scores[b]))])
+        return out
+
+    # --------------------------------------------------------------- jitted
+    def _shape(self, lp: jax.Array, step: jax.Array, max_len: int) -> jax.Array:
+        """The target's logit transforms — the SAME shaping the plain greedy
+        generator applies, so speculative output is token-identical."""
+        lp = search.apply_min_len(lp, step, self.min_len, self.eos)
+        if self.constraint_start is not None:
+            lp = search.apply_constraint_range(
+                lp, self.constraint_start, self.constraint_end, self.eos
+            )
+        V = lp.shape[-1]
+        only_eos = jnp.full((V,), NEG_INF).at[self.eos].set(0.0)
+        return jnp.where(step >= max_len, only_eos[None, :], lp)
+
+    def _generate(self, params, draft_params, src_slots, tgt_slot, *, max_len: int):
+        net, dnet = self.model.net, self.draft_model.net
+        G = self.gamma
+
+        enc_t = net.apply(_vars(params), src_slots, method=net.encode)
+        enc_d = dnet.apply(_vars(draft_params), src_slots, method=dnet.encode)
+        B = enc_t.x.shape[0]
+        T_buf = max_len + G + 3
+        dummy = dataclasses.replace(
+            tgt_slot, value={"inputs": jnp.zeros((B, T_buf), jnp.int32)}
+        )
+        bias_t, cross_t, cache_t = net.apply(
+            _vars(params), [dummy], enc_t, T_buf, method=net.decode_prepare
+        )
+        bias_d, cross_d, cache_d = dnet.apply(
+            _vars(draft_params), [dummy], enc_d, T_buf, method=dnet.decode_prepare
+        )
+
+        def tstep(cache, tokens, step):
+            out, _, cache = net.apply(
+                _vars(params), tokens, step, enc_t, bias_t, cross_t, cache,
+                tgt_slot, method=net.decode_step,
+            )
+            return out.astype(jnp.float32), cache
+
+        def dstep(cache, tokens, step):
+            out, _, cache = dnet.apply(
+                _vars(draft_params), tokens, step, enc_d, bias_d, cross_d, cache,
+                tgt_slot, method=dnet.decode_step,
+            )
+            return out.astype(jnp.float32), cache
+
+        seq = jnp.full((B, T_buf), self.pad, jnp.int32).at[:, 0].set(self.bos)
+
+        # ---- prefill: one plain target step emits token 1 (ensures L >= 2,
+        # so the draft's catch-up window (last two tokens) always exists)
+        logits0, cache_t = tstep(cache_t, seq[:, 0:1], jnp.int32(0))
+        lp0 = jax.nn.log_softmax(logits0[:, -1], axis=-1)
+        lp0 = self._shape(lp0, jnp.int32(0), max_len)
+        t1 = jnp.argmax(lp0, axis=-1).astype(jnp.int32)
+        seq = seq.at[:, 1].set(t1)
+        logp = jnp.take_along_axis(lp0, t1[:, None], axis=1)[:, 0]
+        done0 = t1 == self.eos
+
+        # invariant at loop entry: target cache index == L-1, draft == L-2
+        def cond(state):
+            L, seq, cache_t, cache_d, done, logp = state
+            return (L < max_len + 2) & ~jnp.all(done)
+
+        def body(state):
+            L, seq, cache_t, cache_d, done, logp = state
+
+            # ---- draft proposes G tokens (catch-up window of 2, then 1-by-1)
+            win = jax.lax.dynamic_slice_in_dim(seq, L - 2, 2, axis=1)
+            dlog, cache_d = dstep(cache_d, win, L - 2)
+            dlp = self._shape(jax.nn.log_softmax(dlog[:, -1], axis=-1), L - 1, max_len)
+            d1 = jnp.argmax(dlp, axis=-1).astype(jnp.int32)
+
+            def propose(carry, j):
+                cache_d, tok = carry
+                dlog, cache_d = dstep(cache_d, tok[:, None], L + j)
+                dlp = self._shape(
+                    jax.nn.log_softmax(dlog[:, -1], axis=-1), L + j, max_len
+                )
+                nxt = jnp.argmax(dlp, axis=-1).astype(jnp.int32)
+                return (cache_d, nxt), nxt
+
+            (cache_d, _), rest = jax.lax.scan(
+                propose, (cache_d, d1), jnp.arange(G - 1)
+            )
+            drafts = jnp.concatenate([d1[:, None], rest.T], axis=1)  # (B, G)
+
+            # ---- target verifies all proposals in ONE multi-token step
+            last = jax.lax.dynamic_slice_in_dim(seq, L - 1, 1, axis=1)
+            vtoks = jnp.concatenate([last, drafts], axis=1)          # (B, G+1)
+            vlog, cache_t = tstep(cache_t, vtoks, L - 1)             # (B, G+1, V)
+            vlp = jax.nn.log_softmax(vlog, axis=-1)
+            # row j predicts position L+j, i.e. generation step L+j-1
+            vlp = jnp.stack(
+                [self._shape(vlp[:, j], L + j - 1, max_len) for j in range(G + 1)],
+                axis=1,
+            )
+            greedy = jnp.argmax(vlp, axis=-1).astype(jnp.int32)      # (B, G+1)
+
+            # ---- acceptance: longest agreeing prefix; lockstep on the min
+            match = drafts == greedy[:, :G]                           # (B, G)
+            acc = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)  # (B,)
+            n = jnp.min(jnp.where(done, G, acc))
+
+            # appended token at offset j (0..n): drafts for j < n; at j == n
+            # the row's own draft if it accepted further, else the correction
+            d_ext = jnp.concatenate([drafts, greedy[:, -1:]], axis=1)  # (B, G+1)
+            corr_d = jnp.take_along_axis(d_ext, jnp.broadcast_to(n, (B,))[:, None], axis=1)[:, 0]
+            corr_g = jnp.take_along_axis(greedy, jnp.broadcast_to(n, (B,))[:, None], axis=1)[:, 0]
+            corr = jnp.where(acc > n, corr_d, corr_g)
+
+            pos = jnp.arange(T_buf)[None, :]
+            new_done = done
+            new_logp = logp
+            for j in range(G + 1):
+                tok_j = jnp.where(jnp.int32(j) < n, d_ext[:, j], corr)
+                write = (~done) & (jnp.int32(j) <= n)                 # (B,)
+                seq = jnp.where(
+                    write[:, None] & (pos == L + j), tok_j[:, None], seq
+                )
+                lp_j = jnp.take_along_axis(vlp[:, j], tok_j[:, None], axis=1)[:, 0]
+                new_logp = jnp.where(write & ~new_done, new_logp + lp_j, new_logp)
+                new_done = new_done | (write & (tok_j == self.eos))
+
+            # ---- roll caches back to the accepted frontier
+            L2 = L + n + 1
+            cache_t = _set_self_index(cache_t, L2 - 1)
+            cache_d = _set_self_index(cache_d, L2 - 2)
+            return (L2, seq, cache_t, cache_d, new_done, new_logp)
+
+        state = (jnp.int32(2), seq, cache_t, cache_d, done0, logp)
+        state = jax.lax.while_loop(cond, body, state)
+        _, seq, _, _, _, logp = state
+        # length = tokens up to and including the first EOS (lockstep may
+        # write draft tokens past a row's EOS; finalize drops them too)
+        toks = seq[:, 1:]
+        iseos = toks == self.eos
+        lengths = jnp.where(
+            iseos.any(axis=1),
+            jnp.argmax(iseos, axis=1) + 1,
+            jnp.sum(toks != self.pad, axis=1),
+        )
+        scores = logp / search.length_penalty(lengths, self.lenpen)
+        return seq, scores

@@ -68,7 +68,9 @@ class GeneralistModelConfig(BaseDataclass):
     #   'pallas' — Pallas forward AND backward (loses the in-context A/B;
     #              kept for odd stacks where XLA fusion is unavailable)
     ln_impl: str = "xla"
-    remat: str = "none"                # 'none' | 'full' — per-layer jax.checkpoint
+    remat: str = "none"                # 'none' | 'full' | 'dots' — per-layer jax.checkpoint
+                                       # ('dots' saves matmul results only; elementwise
+                                       # chains recompute in the backward)
     scan_layers: bool = False          # lax.scan over stacked layer params
     # GPipe pipeline over the 'pipe' mesh axis (parallel/pipeline.py);
     # requires scan_layers (stacked layout) and layers %% stages == 0
@@ -84,6 +86,13 @@ class GeneralistModelConfig(BaseDataclass):
     # peak, dynamic per-row activation quant); 'w8' dequantizes to the
     # compute dtype instead. Inert during training / without qkern.
     quant_mode: str = "w8a8"
+    # int8 quantized TRAINING (beyond-reference experiment; ops/quant.py
+    # int8_train_matmul): 'none' (default) or 'fwd' — the transformer
+    # stacks' forward projections contract on the int8 MXU (~2x bf16 rate;
+    # dynamic per-row activation scales, per-out-channel weight scales from
+    # the live fp32 params) with a straight-through bf16/fp32 backward.
+    # Training-only: eval and generation always run the exact bf16 path.
+    quant_training: str = "none"
 
     def __post_init__(self):
         # apply the arch preset only when the stacks are untouched defaults —

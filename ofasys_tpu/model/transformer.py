@@ -43,6 +43,36 @@ def _flash_available() -> bool:
 LN_EPS = 1e-5
 
 
+def _remat_policy(cfg: "GeneralistModelConfig"):
+    """jax.checkpoint policy for cfg.remat:
+
+    'full'  — save only layer inputs, recompute everything in the backward
+              (max memory saving, +1 forward of FLOPs).
+    'dots'  — save matmul (contraction) results, recompute the elementwise
+              chains (LN, gelu, residual adds) in the backward: the standard
+              transformer policy (dots_with_no_batch_dims_saveable). Costs
+              almost no extra FLOPs (elementwise only) while cutting the
+              saved-residual HBM traffic between forward and backward.
+    """
+    if cfg.remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
+def _maybe_remat(layer_cls, cfg: "GeneralistModelConfig", static_argnums):
+    if cfg.remat == "full":
+        return nn.remat(layer_cls, static_argnums=static_argnums)
+    if cfg.remat == "dots":
+        return nn.remat(
+            layer_cls, static_argnums=static_argnums, policy=_remat_policy(cfg)
+        )
+    if cfg.remat != "none":
+        raise ValueError(
+            f"unknown remat mode {cfg.remat!r}; expected 'none', 'full' or 'dots'"
+        )
+    return layer_cls
+
+
 def make_ln(cfg: "GeneralistModelConfig", dtype, name: str):
     """LayerNorm per cfg.ln_impl: 'xla' (nn.LayerNorm, compiler-fused),
     'hybrid' (XLA forward + Pallas backward), 'pallas' (Pallas both ways).
@@ -140,6 +170,10 @@ class MultiheadAttention(nn.Module):
     # int8 serving (ops/quant.py): how QuantDense consumes a 'qkern'
     # collection when one is supplied; inert during training
     qmode: str = "w8a8"
+    # int8 quantized training (cfg.quant_training='fwd'): forward projections
+    # contract on the int8 MXU with a straight-through bf16 backward; only
+    # active on non-deterministic (training) calls so eval/decode stay exact
+    qtrain: bool = False
 
     @nn.compact
     def __call__(
@@ -161,7 +195,7 @@ class MultiheadAttention(nn.Module):
 
         dense = lambda name: QuantDense(
             self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
-            qmode=self.qmode, name=name,
+            qmode=self.qmode, qtrain=self.qtrain and not deterministic, name=name,
         )
         q = dense("q_proj")(query)
         B, Tq = q.shape[:2]
@@ -179,9 +213,13 @@ class MultiheadAttention(nn.Module):
                 k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
                 v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
                 cache = {"k": k, "v": v, "index": idx + Tq}
-                # mask out not-yet-written cache positions
+                # mask out not-yet-written cache positions; for multi-token
+                # steps (speculative verify) each new row j may see only
+                # cache + rows <= j, keeping the step causal within itself
                 Tk = k.shape[1]
-                valid = jnp.arange(Tk)[None, None, None, :] < cache["index"]
+                row_limit = idx + 1 + jnp.arange(Tq)[:, None]       # (Tq, 1)
+                valid = jnp.arange(Tk)[None, :] < row_limit          # (Tq, Tk)
+                valid = valid[None, None]                            # (1, 1, Tq, Tk)
                 mask = valid if mask is None else jnp.logical_and(mask, valid)
 
         dropout_rng = None
@@ -336,7 +374,12 @@ class FeedForward(nn.Module):
         act = get_activation_fn(self.cfg.activation_fn)
         dense = lambda feat, name: QuantDense(
             feat, dtype=self.dtype, param_dtype=jnp.float32,
-            qmode=getattr(self.cfg, "quant_mode", "w8a8"), name=name,
+            qmode=getattr(self.cfg, "quant_mode", "w8a8"),
+            qtrain=(
+                getattr(self.cfg, "quant_training", "none") == "fwd"
+                and not deterministic
+            ),
+            name=name,
         )
         act_drop = nn.Dropout(self.cfg.activation_dropout)
 
@@ -391,6 +434,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
             mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
             qmode=getattr(cfg, "quant_mode", "w8a8"),
+            qtrain=getattr(cfg, "quant_training", "none") == "fwd",
         )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
           deterministic=deterministic)
         if cfg.scale_attn:
@@ -455,6 +499,7 @@ class TransformerDecoderLayer(nn.Module):
             dropout=cfg.attention_dropout, dtype=self.dtype, name="self_attn",
             mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
             qmode=getattr(cfg, "quant_mode", "w8a8"),
+            qtrain=getattr(cfg, "quant_training", "none") == "fwd",
         )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
@@ -474,6 +519,8 @@ class TransformerDecoderLayer(nn.Module):
                 cfg.decoder.embed_dim, cfg.decoder.attention_heads,
                 scale_factor=cfg.attn_scale_factor, scale_heads=cfg.scale_heads,
                 dropout=cfg.attention_dropout, dtype=self.dtype, name="encoder_attn",
+                qmode=getattr(cfg, "quant_mode", "w8a8"),
+                qtrain=getattr(cfg, "quant_training", "none") == "fwd",
             )(h, encoder_out, bias=cross_bias, mask=cross_mask,
               use_flash=cfg.use_flash_attention, deterministic=deterministic,
               cache=None if cache is None else cache.get("cross"), static_kv=True)
@@ -530,9 +577,7 @@ class _EncoderScanBody(nn.Module):
     def __call__(self, x, xs, attn_mask, tables, bucket, abs_bias):
         i, dpr = xs
         bias = _traced_layer_bias(tables, bucket, abs_bias, i)
-        layer_cls = TransformerEncoderLayer
-        if self.cfg.remat == "full":
-            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))
+        layer_cls = _maybe_remat(TransformerEncoderLayer, self.cfg, (4, 5))
         layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, mesh=self.mesh, name="layer")
         x = layer(x, attn_mask, bias, self.deterministic, self.modal_spans, dpr)
         return x, None
@@ -554,9 +599,7 @@ class _DecoderScanBody(nn.Module):
                  tables, bucket, abs_bias):
         i, dpr = xs
         self_bias = _traced_layer_bias(tables, bucket, abs_bias, i)
-        layer_cls = TransformerDecoderLayer
-        if self.cfg.remat == "full":
-            layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(7, 9, 10))
+        layer_cls = _maybe_remat(TransformerDecoderLayer, self.cfg, (7, 9, 10))
         layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, mesh=self.mesh, name="layer")
         x, _ = layer(x, encoder_out, self_mask, self_bias, cross_mask, cross_bias,
                      self.deterministic, None, self.modal_spans, self.full_context, dpr)
@@ -620,6 +663,8 @@ class TransformerEncoder(nn.Module):
 
             if cfg.remat == "full":
                 layer_apply = jax.checkpoint(layer_apply)
+            elif cfg.remat == "dots":
+                layer_apply = jax.checkpoint(layer_apply, policy=_remat_policy(cfg))
             x = pipeline_stack(
                 self.mesh, layer_apply, stacked, x,
                 micro_args=attn_mask,
@@ -642,10 +687,8 @@ class TransformerEncoder(nn.Module):
             xs = (jnp.arange(n_layers), jnp.asarray(dpr, jnp.float32))
             x, _ = scan(x, xs, attn_mask, tables, bucket, abs_bias)
         else:
-            layer_cls = TransformerEncoderLayer
-            if cfg.remat == "full":
-                # deterministic (3) and modal_spans (4) are static python values
-                layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))
+            # deterministic and modal_spans are static python values
+            layer_cls = _maybe_remat(TransformerEncoderLayer, cfg, (4, 5))
             for i in range(n_layers):
                 layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype,
                                   mesh=self.mesh, name=f"layers_{i}")
@@ -750,6 +793,8 @@ class TransformerDecoder(nn.Module):
 
             if cfg.remat == "full":
                 layer_apply = jax.checkpoint(layer_apply)
+            elif cfg.remat == "dots":
+                layer_apply = jax.checkpoint(layer_apply, policy=_remat_policy(cfg))
             x = pipeline_stack(
                 self.mesh, layer_apply, stacked, x,
                 micro_args=micro,
@@ -798,10 +843,10 @@ class TransformerDecoder(nn.Module):
                 new_cache[f"layers_{i}"] = layer_cache
         else:
             layer_cls = TransformerDecoderLayer
-            if cfg.remat == "full" and cache is None:
+            if cache is None:
                 # self counts as arg 0: deterministic (7), modal_spans (9),
                 # full_context (10) are static
-                layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(7, 9, 10))
+                layer_cls = _maybe_remat(TransformerDecoderLayer, cfg, (7, 9, 10))
             for i in range(n_layers):
                 if self_bias_spec is not None:
                     if cache is None:

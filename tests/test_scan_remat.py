@@ -52,12 +52,13 @@ def _stack_layers(params, n):
     return params
 
 
-def test_decoder_and_encoder_remat_equals_plain():
+@pytest.mark.parametrize("mode", ["full", "dots"])
+def test_decoder_and_encoder_remat_equals_plain(mode):
     d = _dict()
     slots, tgt = _batch(d)
     m_plain = _model(d, remat="none")
     params = m_plain.init_params(jax.random.PRNGKey(0), slots)
-    m_remat = _model(d, remat="full")
+    m_remat = _model(d, remat=mode)
 
     out_plain, _ = m_plain.apply(params, slots)
     out_remat, _ = m_remat.apply(params, slots)
