@@ -38,6 +38,13 @@ INFILL = dict(name="text_infilling", B=128, src_tok=64, enc_tok=64, dec_tok=64)
 ASR = dict(name="asr", B=32, frames=480, mels=80, enc_tok=120, dec_tok=32)
 TASKS = (CAPTION, INFILL, ASR)
 
+# batch-size scaling experiments: multiply every task's batch (A/B only;
+# the governing config is the default 1)
+_BX = int(os.environ.get("BENCH_BX", "1"))
+if _BX != 1:
+    for _t in TASKS:
+        _t["B"] *= _BX
+
 STEPS = 8        # updates per timed chunk
 CHUNKS = 5
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
@@ -325,7 +332,9 @@ def main():
     except Exception:
         p50_ms = rtt_ms = device_ms = None
     try:
-        base = get_baseline()
+        # BENCH_NO_BASELINE skips the torch-CPU denominator (minutes of CPU
+        # at experiment configs whose key misses the cache)
+        base = None if os.environ.get("BENCH_NO_BASELINE") else get_baseline()
     except Exception:
         base = None
 

@@ -65,8 +65,13 @@ class ParallelConfig(BaseDataclass):
     expert: int = 1      # MoE expert-parallel axis
     sequence: int = 1    # context/sequence parallelism (beyond-reference)
     pipeline: int = 1    # GPipe pipeline stages (parallel/pipeline.py)
-    # remat ('none'|'selective'|'full') — jax.checkpoint policy for layers
-    remat: str = "selective"
+    # remat ('none'|'selective'|'full') — activation checkpointing, mapped
+    # onto model.remat by Trainer.fit ('selective' = save matmul results,
+    # recompute elementwise chains). Default none: on the v5e mixed-task
+    # bench even the selective policy measured ~14% slower than storing
+    # activations (1170 vs 1360 samples/s) — remat is a MEMORY knob for
+    # large archs/long sequences, not a throughput win at base scale.
+    remat: str = "none"
     # shard optimizer state along fsdp axis even when fsdp==1 & data>1 (ZeRO-1)
     zero1: bool = False
 

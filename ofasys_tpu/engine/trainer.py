@@ -108,6 +108,13 @@ class Trainer:
         if cfg.parallel.pipeline > 1:
             model.cfg.pipeline_stages = cfg.parallel.pipeline
             model.cfg.scan_layers = True
+        # activation checkpointing: trainer-level knob -> model remat mode
+        # ('selective' = the dots policy: save matmul results, recompute
+        # elementwise chains). Model-level cfg.remat, when set explicitly,
+        # wins — it is the serialized source of truth for the checkpoint.
+        if model.cfg.remat == "none" and cfg.parallel.remat != "none":
+            model.cfg.remat = {"selective": "dots", "full": "full",
+                               "dots": "dots"}[cfg.parallel.remat]
         model.initialize(global_dict, active_adaptors=tuple(adaptors), dtype=dtype,
                          mesh=self.mesh if (model.cfg.pipeline_stages > 1
                                            or getattr(model.cfg, 'sequence_parallel', False)) else None)

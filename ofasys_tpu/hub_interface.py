@@ -51,6 +51,7 @@ class OFASys:
         self.general_preprocess = general_preprocess
         self.tasks = tasks or {}
         self._generators: Dict[Any, Any] = {}
+        self._draft = None           # (draft_model, draft_params, gamma)
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -110,6 +111,23 @@ class OFASys:
         self._generators.clear()   # generators close over jitted shapes/cfg
         return self
 
+    # ------------------------------------------------------- speculative
+    def set_draft(self, draft: "OFASys", gamma: int = 4) -> "OFASys":
+        """Attach a DRAFT model (a smaller OFASys sharing this model's
+        vocabulary) for speculative greedy decoding: `inference` calls that
+        resolve to greedy generation (beam_size=1, no sampling / n-gram
+        blocking / trie) route through `SpeculativeGenerator` — identical
+        tokens, fewer sequential target steps. Other calls are unaffected.
+        Pass gamma = draft tokens proposed per target verification."""
+        if len(draft.global_dict) != len(self.global_dict):
+            raise ValueError(
+                "draft vocabulary differs from the target's "
+                f"({len(draft.global_dict)} vs {len(self.global_dict)})"
+            )
+        self._draft = (draft.model, draft.params, gamma)
+        self._generators.clear()
+        return self
+
     # ----------------------------------------------------------- inference
     def inference(
         self,
@@ -132,16 +150,44 @@ class OFASys:
         target_modality = [s for s in sample["net_input"]["slots"] if not s.is_src][-1].modality
         gen_kwargs = dict(_GEN_DEFAULTS.get(target_modality, {}))
         gen_kwargs.update(gen_overrides)
-        key = (target_modality, tuple(sorted(gen_kwargs.items())))
+        prefix = sample.get("prefix_tokens")
+        has_prefix = prefix is not None and prefix.size
+        speculative = (
+            self._draft is not None
+            and gen_kwargs.get("beam_size", 5) == 1
+            and not gen_kwargs.get("sampling", False)
+            and not gen_kwargs.get("no_repeat_ngram_size", 0)
+            and "constraint_trie" not in gen_kwargs
+            and not has_prefix
+        )
+        key = (target_modality, speculative, tuple(sorted(gen_kwargs.items())))
         if key not in self._generators:
-            from ofasys_tpu.generator import SequenceGenerator
+            if speculative:
+                from ofasys_tpu.generator import SpeculativeGenerator
 
-            self._generators[key] = SequenceGenerator(self.model, self.global_dict, **gen_kwargs)
+                draft_model, _, gamma = self._draft
+                spec_kwargs = {
+                    k: v for k, v in gen_kwargs.items()
+                    if k in ("max_len_a", "max_len_b", "min_len", "lenpen",
+                             "constraint_range")
+                }
+                self._generators[key] = SpeculativeGenerator(
+                    self.model, draft_model, self.global_dict, gamma=gamma,
+                    **spec_kwargs,
+                )
+            else:
+                from ofasys_tpu.generator import SequenceGenerator
+
+                self._generators[key] = SequenceGenerator(
+                    self.model, self.global_dict, **gen_kwargs
+                )
         gen = self._generators[key]
 
-        prefix = sample.get("prefix_tokens")
-        outputs = gen.generate(self.params, sample,
-                               prefix_tokens=prefix if prefix is not None and prefix.size else None)
+        if speculative:
+            outputs = gen.generate(self.params, self._draft[1], sample)
+        else:
+            outputs = gen.generate(self.params, sample,
+                                   prefix_tokens=prefix if has_prefix else None)
         for hyps in outputs:
             self.general_preprocess.postprocess(hyps, sample)
         results = [hyps[0] if len(hyps) == 1 else hyps for hyps in outputs]

@@ -108,3 +108,43 @@ def test_example_yamls_parse_and_reference_registered_tasks():
             reg = tcfg.get("task", "default") if isinstance(tcfg, dict) else "default"
             if reg != "default":
                 assert ConfigStore().get("ofasys.task", reg) is not None, (y, reg)
+
+
+def test_hub_speculative_inference_matches_greedy():
+    """set_draft routes greedy hub inference through SpeculativeGenerator;
+    tokens identical to the plain greedy path (random draft)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ofasys_tpu import GeneralistModel, OFASys
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.preprocessor.general import GeneralPreprocess
+
+    d = Dictionary()
+    gp = GeneralPreprocess(d, active=["text"])
+
+    def build(layers, seed):
+        m = GeneralistModel(arch="tiny")
+        m.cfg.encoder.layers = m.cfg.decoder.layers = layers
+        m.cfg.dropout = 0.0
+        m.initialize(d, active_adaptors=("text",), dtype=jnp.float32)
+        from ofasys_tpu.preprocessor.instruction import Instruction
+
+        ist = gp(Instruction("[TEXT:src] -> [TEXT:tgt]", split="test").format(src="hello world"))
+        slots = gp.collate([ist])["net_input"]["slots"]
+        return m, m.init_params(jax.random.PRNGKey(seed), slots)
+
+    target, params = build(2, 0)
+    draft, dparams = build(1, 9)
+    hub = OFASys(target, params, d, gp)
+    kw = dict(beam_size=1, max_len_b=8, no_repeat_ngram_size=0)
+    plain = hub.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "hello world"}, **kw)
+
+    hub.set_draft(OFASys(draft, dparams, d, gp), gamma=3)
+    spec = hub.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "hello world"}, **kw)
+    assert list(spec.tokens) == list(plain.tokens)
+
+    # beam > 1 must keep using the plain generator (no exception, n-best)
+    beam = hub.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "hello world"},
+                         beam_size=2, max_len_b=8)
+    assert beam.text is not None

@@ -127,3 +127,12 @@ def test_torch_import_roundtrip():
     emb = flat["embed_tokens/embedding"]
     orig = np.asarray(sd[emb_key])
     np.testing.assert_array_equal(np.asarray(emb)[: orig.shape[0] - 4], orig[:-4])
+
+
+def test_ms_wrapper_import_is_gated():
+    """ModelScope wrapper must import cleanly without modelscope installed
+    (registration only fires when the SDK is present)."""
+    import ofasys_tpu.ms_wrapper as ms
+
+    assert hasattr(ms, "_HAS_MODELSCOPE")
+    assert ms.TASK_NAME == "ofasys-task"

@@ -119,3 +119,25 @@ def test_multitoken_decode_step_is_causal():
         np.asarray(jnp.stack(singles, axis=1), np.float32),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_speculative_composes_with_int8_serving():
+    """Speculative decode over a quantize_for_serving'd target matches the
+    plain generator running the same quantized variables."""
+    from ofasys_tpu.ops.quant import quantize_for_serving
+
+    d = _dict()
+    target = _model(d, layers=2)
+    draft = _model(d, layers=1)
+    sample = _sample(d, B=2, seed=9)
+    slots = sample["net_input"]["slots"]
+    params = target.init_params(jax.random.PRNGKey(4), slots)
+    dparams = draft.init_params(jax.random.PRNGKey(11), slots)
+    qvars = quantize_for_serving(params, quantize_logits=False)
+
+    ref = SequenceGenerator(target, d, beam_size=1, max_len_b=8, min_len=1)
+    out_ref = ref.generate(qvars, sample)
+    spec = SpeculativeGenerator(target, draft, d, gamma=2, max_len_b=8, min_len=1)
+    out_spec = spec.generate(qvars, dparams, sample)
+    for b in range(2):
+        assert list(out_spec[b][0].tokens) == list(out_ref[b][0].tokens)
