@@ -40,10 +40,10 @@ TASKS = (CAPTION, INFILL, ASR)
 
 # batch-size scaling experiments: multiply every task's batch (A/B only;
 # the governing config is the default 1)
-_BX = int(os.environ.get("BENCH_BX", "1"))
-if _BX != 1:
+_BX = float(os.environ.get("BENCH_BX", "1"))
+if _BX != 1.0:
     for _t in TASKS:
-        _t["B"] *= _BX
+        _t["B"] = max(1, int(round(_t["B"] * _BX)))
 
 STEPS = 8        # updates per timed chunk
 CHUNKS = 5

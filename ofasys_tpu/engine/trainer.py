@@ -76,6 +76,7 @@ class Trainer:
         self._flush_metrics()
         if not self.cfg.checkpoint.no_save:
             self.save_checkpoint("checkpoint_last", self._total_updates)
+            checkpoint_utils.wait_for_async_saves()
         logger.info("fit done in %.1fs", time.time() - t_start)
         return self.state
 
@@ -402,9 +403,11 @@ class Trainer:
         checkpoint_utils.save_checkpoint(
             cfg.checkpoint.save_dir, name, self.state, meta,
             keep_last=cfg.checkpoint.keep_interval_updates, is_best=is_best,
+            async_save=cfg.checkpoint.async_save,
         )
 
     def _maybe_restore(self) -> Optional[int]:
+        checkpoint_utils.wait_for_async_saves()  # in-process save-then-resume
         path = checkpoint_utils.latest_checkpoint(self.cfg.checkpoint.save_dir)
         if path is None or self.cfg.checkpoint.reset_optimizer:
             return None

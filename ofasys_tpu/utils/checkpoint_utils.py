@@ -27,6 +27,24 @@ def _ocp():
     return ocp
 
 
+_async_ckptr = None
+
+
+def _get_async_ckptr():
+    global _async_ckptr
+    if _async_ckptr is None:
+        ocp = _ocp()
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_async_saves():
+    """Block until every in-flight async checkpoint write has committed.
+    Call before loading a just-saved checkpoint and at the end of fit."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(
     save_dir: str,
     name: str,
@@ -34,18 +52,32 @@ def save_checkpoint(
     meta: Optional[Dict[str, Any]] = None,
     keep_last: int = -1,
     is_best: bool = False,
+    async_save: bool = False,
 ):
+    """``async_save``: the reference ships async checkpoint writes (iopath,
+    utils/checkpoint_utils.py:433); here orbax's AsyncCheckpointer blocks
+    only until arrays are copied off the device (donation-safe — the train
+    loop may immediately overwrite device buffers), then serializes to disk
+    in a background thread and finalizes the directory atomically."""
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(os.path.abspath(save_dir), name)
     ocp = _ocp()
-    ckptr = ocp.PyTreeCheckpointer()
-    tmp = path + ".tmp"
-    _remove(tmp)
-    ckptr.save(tmp, jax.device_get(state))
-    # path may be a symlink left by _mirror (e.g. the final explicit
-    # checkpoint_last save after interval saves) — rmtree raises on symlinks
-    _remove(path)
-    os.rename(tmp, path)
+    if async_save:
+        ckptr = _get_async_ckptr()
+        ckptr.wait_until_finished()   # one in-flight save at a time
+        _remove(path)
+        # orbax writes to its own tmp dir and renames on finalize; the
+        # mirror symlinks below may dangle until the background commit
+        ckptr.save(path, state)
+    else:
+        ckptr = ocp.PyTreeCheckpointer()
+        tmp = path + ".tmp"
+        _remove(tmp)
+        ckptr.save(tmp, jax.device_get(state))
+        # path may be a symlink left by _mirror (e.g. the final explicit
+        # checkpoint_last save after interval saves) — rmtree raises on symlinks
+        _remove(path)
+        os.rename(tmp, path)
     if meta is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
@@ -92,6 +124,7 @@ def _prune(save_dir: str, keep: int):
 def load_checkpoint(path: str, target: Optional[Any] = None):
     """Returns (state, meta). ``target`` provides structure/dtypes for
     restore (required for exact dtype round-trip)."""
+    wait_for_async_saves()   # same-process save-then-load sees committed data
     ocp = _ocp()
     path = os.path.abspath(path)
     if os.path.islink(path):
