@@ -35,20 +35,27 @@ class BaseDataclass:
 class CommonConfig(BaseDataclass):
     # reference configure/configs.py:107 (seed/fp16/bf16/amp/profile)
     seed: int = 1
-    # compute dtype policy: "bfloat16" | "float32"; params+opt always fp32
+    # compute dtype policy: "bfloat16" | "float32"; params+opt always fp32.
+    # fp16/bf16 are reference-config compat flags: either one forces the
+    # bfloat16 policy (there is no fp16+loss-scaler path on TPU).
     dtype: str = "bfloat16"
-    fp16: bool = False  # accepted for reference-config compat; implies bf16 here
-    bf16: bool = True
+    fp16: bool = False
+    bf16: bool = False
     log_interval: int = 100
     log_format: str = "simple"
     tensorboard_logdir: Optional[str] = None
     wandb_project: Optional[str] = None
     azureml_logging: bool = False
+    # jax.profiler trace of the whole update loop -> profile_dir
+    # (TensorBoard/Perfetto-readable; see CLAUDE.md for the xplane recipe)
     profile: bool = False
     profile_dir: str = "/tmp/ofasys_tpu_profile"
+    # extra module directory imported before config build so user
+    # @register_config side effects fire (reference common.user_dir)
     user_dir: Optional[str] = None
-    empty_cache_freq: int = 0
-    model_parallel_size: int = 1
+    # (reference empty_cache_freq / model_parallel_size are deleted: the
+    # first is a CUDA allocator knob with no XLA counterpart, the second
+    # is superseded by parallel.tensor)
 
 
 @dataclass
@@ -79,9 +86,14 @@ class ParallelConfig(BaseDataclass):
 @dataclass
 class DatasetConfig(BaseDataclass):
     # reference configure/configs.py:377
-    num_workers: int = 2
+    num_workers: int = 2           # host-side prefetch depth (threaded; XLA
+                                   # has no worker *processes* to spawn)
     batch_size: int = 8
     batch_size_valid: Optional[int] = None
+    # token-budget batching, resolved STATICALLY per task: batch_size =
+    # max_tokens // (max_src_length + max_tgt_length), floored to
+    # required_batch_size_multiple (XLA needs shape-stable batches; the
+    # reference's per-batch dynamic length bucketing would retrace)
     max_tokens: Optional[int] = None
     update_freq: int = 1           # gradient accumulation microbatches
     required_batch_size_multiple: int = 8
@@ -89,14 +101,16 @@ class DatasetConfig(BaseDataclass):
     valid_data: str = ""
     test_data: str = ""
     selected_cols: Optional[str] = None
-    text_bin_length: int = 512
+    text_bin_length: int = 512     # record length for oss-bin LM streams
     disable_validation: bool = False
-    validate_interval: int = 1
+    validate_interval: int = 1     # validate every N epochs (epoch = first
+                                   # task's iterator rollover)
     validate_interval_updates: int = 0
     fixed_validation_seed: Optional[int] = None
     max_valid_batches: Optional[int] = None  # cap validation batches per pass
-    skip_invalid_size_inputs_valid_test: bool = False
-    prefetch: int = 2              # host-side prefetch depth (device feed)
+    # (reference skip_invalid_size_inputs_valid_test deleted: preprocessors
+    # truncate to max lengths instead of skipping, so no sample is invalid;
+    # num_workers doubles as the host-side prefetch depth)
 
 
 @dataclass
@@ -108,7 +122,9 @@ class OptimizationConfig(BaseDataclass):
     stop_min_lr: float = -1.0
     clip_norm: float = 1.0
     sentence_avg: bool = False
-    skip_remainder_batch: bool = False
+    # keep the ragged final batch of each epoch? Default False (= skip):
+    # a second program shape per task would retrace under jit
+    skip_remainder_batch: bool = True
     optimizer: str = "adam"
     lr_scheduler: str = "ofa_polynomial_decay"
     # adam/adamw
@@ -142,6 +158,10 @@ class CheckpointConfig(BaseDataclass):
     save_interval: int = 1
     save_interval_updates: int = 0
     keep_interval_updates: int = -1
+    # even when rotation would delete them, keep update checkpoints whose
+    # update count is a multiple of this (reference
+    # keep_interval_updates_pattern, checkpoint_utils.py:99-107)
+    keep_interval_updates_pattern: int = -1
     keep_last_epochs: int = -1
     keep_best_checkpoints: int = -1
     no_save: bool = False
@@ -152,6 +172,11 @@ class CheckpointConfig(BaseDataclass):
     maximize_best_checkpoint_metric: bool = False
     patience: int = -1
     async_save: bool = True        # orbax async checkpointing
+    # (reference optimizer_overrides deleted: the optax chain is always
+    # rebuilt from cfg.optimization on resume, so editing the config IS the
+    # override mechanism; checkpoint_suffix / checkpoint_shard_count /
+    # load_checkpoint_on_all_dp_ranks deleted: orbax checkpoints are
+    # natively sharded and every host participates in save/restore)
 
 
 @dataclass
@@ -159,9 +184,10 @@ class EMAConfig(BaseDataclass):
     # reference configure/configs.py:847
     store_ema: bool = False
     ema_decay: float = 0.9999
-    ema_start_update: int = 0
-    ema_update_freq: int = 1
-    ema_fp32: bool = True
+    ema_start_update: int = 0      # shadow copies the raw params before this
+    ema_update_freq: int = 1       # decay applied every N updates
+    # (reference ema_fp32 deleted: params — and therefore the EMA shadow —
+    # are always fp32 masters under the bf16-compute policy)
 
 
 @dataclass

@@ -41,7 +41,9 @@ class TrainState(flax.struct.PyTreeNode):
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=optimizer.init(params),
-            ema_params=jax.tree.map(lambda x: x, params) if ema else None,
+            # a REAL copy: identity tree-map would alias params' buffers and
+            # the donated train step would donate each buffer twice
+            ema_params=jax.tree.map(jnp.copy, params) if ema else None,
         )
 
 
@@ -97,10 +99,13 @@ def make_apply_step(
     optimizer: optax.GradientTransformation,
     ema_decay: float = 0.0,
     lr_schedule=None,
+    ema_start_update: int = 0,
+    ema_update_freq: int = 1,
 ) -> Callable:
     """Optimizer half: scale raw grad sum by 1/sample_size (reference
     multiply_grads parity, trainer.py:848-868), clip via the optax chain,
-    step, EMA."""
+    step, EMA (with start-update and update-freq gating, reference
+    ema/ema.py:33-202)."""
 
     def apply_step(state: TrainState, grads, sample_size):
         scale = 1.0 / jnp.maximum(sample_size, 1.0)
@@ -112,8 +117,15 @@ def make_apply_step(
 
         new_ema = state.ema_params
         if state.ema_params is not None and ema_decay > 0:
+            # before start_update: shadow tracks the raw params (decay 0);
+            # after: decay applied every ema_update_freq updates
+            started = state.step >= ema_start_update
+            due = (state.step % max(ema_update_freq, 1)) == 0
+            decay = jnp.where(started, jnp.float32(ema_decay), 0.0)
+            decay = jnp.where(due | ~started, decay, 1.0)  # off-step: keep shadow
             new_ema = jax.tree.map(
-                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                lambda e, p: e * decay.astype(e.dtype)
+                + p.astype(e.dtype) * (1.0 - decay.astype(e.dtype)),
                 state.ema_params, new_params,
             )
 
@@ -135,11 +147,15 @@ def make_train_step(
     update_freq: int = 1,
     ema_decay: float = 0.0,
     lr_schedule=None,
+    ema_start_update: int = 0,
+    ema_update_freq: int = 1,
 ) -> Callable:
     """Build the fused train step; jit it with donate_argnums=(0,) at the call
     site (parallel/api.py shards it over the mesh)."""
     grad_step = make_grad_step(model, criterion, update_freq=update_freq)
-    apply_step = make_apply_step(optimizer, ema_decay=ema_decay, lr_schedule=lr_schedule)
+    apply_step = make_apply_step(optimizer, ema_decay=ema_decay, lr_schedule=lr_schedule,
+                                 ema_start_update=ema_start_update,
+                                 ema_update_freq=ema_update_freq)
 
     def train_step(state: TrainState, batch, rng) -> tuple:
         grads, sample_size, logging = grad_step(state.params, state.step, batch, rng)
@@ -158,6 +174,8 @@ def make_multitask_train_step(
     update_freqs: Optional[Dict[str, int]] = None,
     ema_decay: float = 0.0,
     lr_schedule=None,
+    ema_start_update: int = 0,
+    ema_update_freq: int = 1,
 ) -> Callable:
     """ONE jitted program for a whole summed multi-task update: every task's
     gradients, the cross-task sum, and the optimizer step fuse into a single
@@ -170,7 +188,9 @@ def make_multitask_train_step(
         name: make_grad_step(model, crit, update_freq=update_freqs.get(name, 1), fold=i)
         for i, (name, crit) in enumerate(criteria.items())
     }
-    apply_step = make_apply_step(optimizer, ema_decay=ema_decay, lr_schedule=lr_schedule)
+    apply_step = make_apply_step(optimizer, ema_decay=ema_decay, lr_schedule=lr_schedule,
+                                 ema_start_update=ema_start_update,
+                                 ema_update_freq=ema_update_freq)
 
     def train_step(state: TrainState, batches: Dict[str, Any], rng):
         acc_g = None

@@ -74,9 +74,9 @@ class Trainer:
         t_start = time.time()
         self.run_updates(start_update, self._total_updates)
         self._flush_metrics()
-        if not self.cfg.checkpoint.no_save:
+        if not self.cfg.checkpoint.no_save and not self.cfg.checkpoint.no_last_checkpoints:
             self.save_checkpoint("checkpoint_last", self._total_updates)
-            checkpoint_utils.wait_for_async_saves()
+        checkpoint_utils.wait_for_async_saves()
         logger.info("fit done in %.1fs", time.time() - t_start)
         return self.state
 
@@ -103,7 +103,10 @@ class Trainer:
             for a in task.required_adaptors():
                 if a not in adaptors:
                     adaptors.append(a)
-        dtype = jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
+        # fp16/bf16 are reference-config compat flags: either forces the
+        # bfloat16 compute policy (no fp16+loss-scaler path on TPU)
+        use_bf16 = cfg.common.dtype == "bfloat16" or cfg.common.fp16 or cfg.common.bf16
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         # mesh first: pipeline parallelism needs it inside the model
         self.mesh = build_mesh(cfg.parallel)
         if cfg.parallel.pipeline > 1:
@@ -158,7 +161,22 @@ class Trainer:
             [first_batch[t.name]["net_input"]["slots"] for t in tasks],
         )
         state = TrainState.create(params, optimizer, ema=cfg.ema.store_ema)
-        state = shard_tree(state, self.mesh)
+        # ZeRO-1 (reference zero_sharding='os', optim/shard.py:50): shard
+        # optimizer moments over the data axis even when params replicate
+        # (fsdp==1). With fsdp>1 moments already shard like params (ZeRO-3
+        # analogue), so the extra rule would be redundant.
+        self._sharding_rules = None
+        if cfg.parallel.zero1 and self.mesh.shape["fsdp"] == 1 \
+                and self.mesh.shape["data"] > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from ofasys_tpu.parallel.sharding import DEFAULT_RULES
+
+            self._sharding_rules = (
+                [(r"(^|/)opt_state(/|$)", P("data"))] + list(DEFAULT_RULES)
+            )
+            logger.info("zero1: optimizer state sharded over the data axis")
+        state = shard_tree(state, self.mesh, rules=self._sharding_rules)
         self.state = state
         self.model = model
         self.tasks = tasks
@@ -169,6 +187,12 @@ class Trainer:
         restored = self._maybe_restore()
         if restored is not None:
             start_update = restored
+            if cfg.checkpoint.reset_lr_scheduler and start_update > 0:
+                # scheduler restarts from zero while training resumes at the
+                # restored update (reference reset_lr_scheduler semantics)
+                base_sched, off = lr_sched, int(start_update)
+                lr_sched = lambda s: base_sched(jnp.maximum(s - off, 0))
+                logger.info("reset_lr_scheduler: schedule re-zeroed at update %d", off)
 
         # 5) per-task sharded step programs. Summed multi-task mode splits
         # each task's program into a grad half + a shared apply half.
@@ -187,11 +211,13 @@ class Trainer:
             fused = make_multitask_train_step(
                 model, {t.name: t.criterion for t in tasks}, optimizer,
                 update_freqs=update_freqs, ema_decay=ema_decay, lr_schedule=lr_sched,
+                ema_start_update=cfg.ema.ema_start_update,
+                ema_update_freq=cfg.ema.ema_update_freq,
             )
             self._fused_fn = make_sharded_multitask_train_step(
                 fused, self.mesh, self.state,
                 {t.name: batch_device_view(first_batch[t.name]) for t in tasks},
-                update_freqs=update_freqs,
+                update_freqs=update_freqs, rules=self._sharding_rules,
             )
         else:
             for task, batch in ((t, first_batch[t.name]) for t in tasks):
@@ -200,10 +226,13 @@ class Trainer:
                     update_freq=task.cfg.dataset.update_freq,
                     ema_decay=ema_decay,
                     lr_schedule=lr_sched,
+                    ema_start_update=cfg.ema.ema_start_update,
+                    ema_update_freq=cfg.ema.ema_update_freq,
                 )
                 self._step_fns[task.name] = make_sharded_train_step(
                     step_fn, self.mesh, self.state, batch_device_view(batch),
                     update_freq=task.cfg.dataset.update_freq,
+                    rules=self._sharding_rules,
                 )
 
         # 6) loop state
@@ -224,23 +253,61 @@ class Trainer:
 
     def run_updates(self, start_update: int, end_update: int):
         cfg = self.cfg
-        for update in range(start_update, end_update):
-            self.train_one_update()
-            self.meters["ups"].update(1)
-            if cfg.common.log_interval and (update + 1) % cfg.common.log_interval == 0:
-                self._print_progress(update + 1, end_update)
-            if cfg.checkpoint.save_interval_updates and \
-                    (update + 1) % cfg.checkpoint.save_interval_updates == 0:
-                self.save_checkpoint(f"checkpoint_1_{update + 1}", update + 1)
-            vi = cfg.dataset.validate_interval_updates
-            if vi and (update + 1) % vi == 0:
-                if self.validate_and_save(update + 1):
-                    logger.info(
-                        "early stop at update %d: %s did not improve for %d "
-                        "validations (patience)", update + 1,
-                        cfg.checkpoint.best_checkpoint_metric, cfg.checkpoint.patience,
-                    )
-                    break
+        ck = cfg.checkpoint
+        if cfg.common.profile:
+            jax.profiler.start_trace(cfg.common.profile_dir)
+            logger.info("jax.profiler trace -> %s", cfg.common.profile_dir)
+        last_epoch = self._cur_epoch()
+        try:
+            for update in range(start_update, end_update):
+                self.train_one_update()
+                self.meters["ups"].update(1)
+                if cfg.common.log_interval and (update + 1) % cfg.common.log_interval == 0:
+                    self._print_progress(update + 1, end_update)
+                    lr_val = self.meters["lr"].avg if "lr" in self.meters else None
+                    if (cfg.optimization.stop_min_lr > 0 and lr_val is not None
+                            and lr_val < cfg.optimization.stop_min_lr):
+                        logger.info("stop: lr %.3g below stop_min_lr %.3g",
+                                    lr_val, cfg.optimization.stop_min_lr)
+                        break
+                if ck.save_interval_updates and \
+                        (update + 1) % ck.save_interval_updates == 0:
+                    self.save_checkpoint(f"checkpoint_1_{update + 1}", update + 1)
+                vi = cfg.dataset.validate_interval_updates
+                if vi and (update + 1) % vi == 0:
+                    if self.validate_and_save(update + 1):
+                        logger.info(
+                            "early stop at update %d: %s did not improve for %d "
+                            "validations (patience)", update + 1,
+                            ck.best_checkpoint_metric, ck.patience,
+                        )
+                        break
+                # ---- epoch boundary (epoch = first task's iterator rollover)
+                ep = self._cur_epoch()
+                if ep != last_epoch:
+                    done_ep, last_epoch = last_epoch, ep
+                    if (not ck.no_save and not ck.no_epoch_checkpoints
+                            and ck.save_interval > 0
+                            and done_ep % ck.save_interval == 0):
+                        self.save_checkpoint(
+                            f"checkpoint_e{done_ep}", update + 1,
+                            keep_epochs=ck.keep_last_epochs,
+                        )
+                    if (cfg.dataset.validate_interval > 0 and not vi
+                            and done_ep % cfg.dataset.validate_interval == 0):
+                        if self.validate_and_save(update + 1):
+                            logger.info("early stop after epoch %d (patience)", done_ep)
+                            break
+                    if cfg.optimization.max_epoch and done_ep >= cfg.optimization.max_epoch:
+                        logger.info("stop: reached max_epoch %d", done_ep)
+                        break
+        finally:
+            if cfg.common.profile:
+                jax.profiler.stop_trace()
+
+    def _cur_epoch(self) -> int:
+        it = self.tasks[0].iterators.get("train") if getattr(self, "tasks", None) else None
+        return int(getattr(it, "epoch", 1)) if it is not None else 1
 
     def validate_and_save(self, num_updates: int) -> bool:
         """Validate every task that has a valid split, track the mean
@@ -318,8 +385,11 @@ class Trainer:
 
     def _task_batches(self, task, dp_rank: int, dp_size: int):
         """Endless stream of batches, rolling over epochs."""
-        it = task.get_batch_iterator("train", rank=dp_rank, world_size=dp_size,
-                                     seed=self.cfg.common.seed)
+        it = task.get_batch_iterator(
+            "train", rank=dp_rank, world_size=dp_size,
+            seed=self.cfg.common.seed,
+            drop_last=self.cfg.optimization.skip_remainder_batch,
+        )
         while True:
             for batch in it.next_epoch_itr():
                 yield batch
@@ -379,7 +449,9 @@ class Trainer:
         # (reference fixed_validation_seed semantics) — a shared stateful
         # iterator would rotate batches between passes and make the patience
         # metric non-comparable
-        it = task.get_batch_iterator("valid", fresh=True)
+        it = task.get_batch_iterator(
+            "valid", fresh=True, seed=self.cfg.dataset.fixed_validation_seed or 1
+        )
         for i, batch in enumerate(it.next_epoch_itr(shuffle=False)):
             if max_batches is not None and i >= max_batches:
                 break
@@ -388,7 +460,8 @@ class Trainer:
         return task.criterion.reduce_metrics(logs, task_name=task.name)
 
     # --------------------------------------------------------- checkpoints
-    def save_checkpoint(self, name: str, num_updates: int, is_best: bool = False):
+    def save_checkpoint(self, name: str, num_updates: int, is_best: bool = False,
+                        keep_epochs: int = -1):
         cfg = self.cfg
         meta = {
             "num_updates": num_updates,
@@ -399,19 +472,61 @@ class Trainer:
                                 for t in self.tasks if "train" in t.iterators},
             "model_cfg": to_dict(self.model.cfg),
             "active_adaptors": list(self.model.net.active_adaptors),
+            "meters": self.meters.state_dict(),
         }
+        state = self.state
+        if cfg.checkpoint.no_save_optimizer_state:
+            # params-only checkpoint (serving/export; resume treats it like
+            # finetune_from_model — weights restore, optimizer starts fresh)
+            state = {"params": self.state.params, "step": self.state.step}
+            if self.state.ema_params is not None:
+                state["ema_params"] = self.state.ema_params
+            meta["no_optimizer_state"] = True
         checkpoint_utils.save_checkpoint(
-            cfg.checkpoint.save_dir, name, self.state, meta,
+            cfg.checkpoint.save_dir, name, state, meta,
             keep_last=cfg.checkpoint.keep_interval_updates, is_best=is_best,
             async_save=cfg.checkpoint.async_save,
+            keep_pattern=cfg.checkpoint.keep_interval_updates_pattern,
+            keep_best=cfg.checkpoint.keep_best_checkpoints, best_tag=num_updates,
+            keep_epochs=keep_epochs,
+            mirror_last=not cfg.checkpoint.no_last_checkpoints,
         )
 
     def _maybe_restore(self) -> Optional[int]:
         checkpoint_utils.wait_for_async_saves()  # in-process save-then-resume
-        path = checkpoint_utils.latest_checkpoint(self.cfg.checkpoint.save_dir)
-        if path is None or self.cfg.checkpoint.reset_optimizer:
+        ck = self.cfg.checkpoint
+        path = os.path.join(ck.save_dir, ck.restore_file or "checkpoint_last")
+        if not os.path.exists(path):
+            path = None
+        if path is None and ck.finetune_from_model:
+            # first launch: warm-start weights from another run; everything
+            # else fresh (reference finetune_from_model,
+            # checkpoint_utils.py:197-230 — once a checkpoint_last exists the
+            # usual resume logic takes over and the flag is ignored)
+            self._load_params_only(ck.finetune_from_model)
+            return None
+        if path is None:
+            return None
+        if ck.reset_optimizer:
+            # model weights always restore; only the optimizer (and step
+            # count) start fresh (reference trainer.py:642 skips the optim
+            # state, load_checkpoint still calls load_model_state). The
+            # dataloader still resumes unless reset_dataloader is also set.
+            self._load_params_only(path)
+            if not ck.reset_dataloader:
+                meta = checkpoint_utils.upgrade_state_meta(
+                    checkpoint_utils.read_meta(path)
+                ) or {}
+                for t in self.tasks:
+                    st = meta.get("iterator_states", {}).get(t.name)
+                    if st and "train" in t.iterators:
+                        t.iterators["train"].load_state_dict(st)
             return None
         pre_meta = checkpoint_utils.upgrade_state_meta(checkpoint_utils.read_meta(path))
+        if (pre_meta or {}).get("no_optimizer_state"):
+            # params-only checkpoint: weights restore, optimizer starts fresh
+            self._load_params_only(path, pre_meta)
+            return int(pre_meta.get("num_updates", 0))
         saved_syms = (pre_meta or {}).get("global_dict", {}).get("symbols")
         cur_syms = self.global_dict.state_dict()["symbols"]
         if saved_syms is not None and saved_syms != cur_syms:
@@ -436,12 +551,49 @@ class Trainer:
             state, self.state,
         )
         if meta:
-            for t in self.tasks:
-                st = meta.get("iterator_states", {}).get(t.name)
-                if st and "train" in t.iterators:
-                    t.iterators["train"].load_state_dict(st)
+            if not ck.reset_dataloader:
+                for t in self.tasks:
+                    st = meta.get("iterator_states", {}).get(t.name)
+                    if st and "train" in t.iterators:
+                        t.iterators["train"].load_state_dict(st)
+            if not ck.reset_meters and meta.get("meters"):
+                try:
+                    self.meters.load_state_dict(meta["meters"])
+                except Exception:
+                    logger.warning("could not restore meters state; continuing fresh")
             return int(meta.get("num_updates", 0))
         return None
+
+    def _load_params_only(self, path: str, pre_meta: Optional[Dict[str, Any]] = None):
+        """Restore model weights (and EMA if present) from ``path``; the
+        optimizer, meters, and iterators keep their fresh state."""
+        if pre_meta is None:
+            pre_meta = checkpoint_utils.upgrade_state_meta(checkpoint_utils.read_meta(path)) or {}
+        host = jax.device_get(self.state)
+        if pre_meta.get("no_optimizer_state"):
+            target = {"params": host.params, "step": host.step}
+            if host.ema_params is not None:
+                target["ema_params"] = host.ema_params
+            state, _ = checkpoint_utils.load_checkpoint(path, target=target)
+            params = state["params"]
+            ema = state.get("ema_params", host.ema_params)
+        else:
+            state, _ = checkpoint_utils.load_checkpoint(path, target=host)
+            params = state.params
+            ema = state.ema_params if host.ema_params is not None else None
+        self.state = self.state.replace(
+            params=jax.tree.map(
+                lambda x, s: jax.device_put(x, s.sharding) if hasattr(s, "sharding") else x,
+                params, self.state.params,
+            ),
+            ema_params=(
+                jax.tree.map(
+                    lambda x, s: jax.device_put(x, s.sharding) if hasattr(s, "sharding") else x,
+                    ema, self.state.ema_params,
+                ) if ema is not None and self.state.ema_params is not None else self.state.ema_params
+            ),
+        )
+        logger.info("loaded model weights (params-only) from %s", path)
 
 
 def batch_device_view(batch: Dict[str, Any]) -> Dict[str, Any]:

@@ -20,6 +20,12 @@ B=1 is the canonical latency-serving case.
 
 The whole decode (draft scan + verify + rollback) is one lax.while_loop
 jitted once per (B, max_len) — no per-token host round-trips.
+
+Measured (v5e, base arch, B=1, readback-timed): one 5-token verify step
+costs ~8.4 ms device-side vs ~95 ms for 5 sequential single-token steps
+(~11x; sequential steps additionally pay per-dispatch gaps). Decode GEMVs
+are weight-bandwidth-bound, so verifying gamma+1 tokens re-reads the same
+weights once — about the price of ONE token.
 """
 
 from __future__ import annotations

@@ -83,6 +83,8 @@ def build_from_config(data: Dict[str, Any]):
     from ofasys_tpu.task.base import Task
 
     trainer_cfg = from_dict(TrainerConfig, data.get("trainer", {}))
+    if trainer_cfg.common.user_dir:
+        import_user_dir(trainer_cfg.common.user_dir)
     model_kwargs = dict(data.get("model", {}))
     arch = model_kwargs.pop("arch", None)
     model = GeneralistModel(arch=arch)
@@ -101,6 +103,25 @@ def build_from_config(data: Dict[str, Any]):
     from ofasys_tpu.engine.trainer import Trainer
 
     return Trainer(trainer_cfg), model, tasks
+
+
+def import_user_dir(path: str):
+    """Import every module in ``path`` so user @register_config /
+    register_config side effects fire before tasks are built (reference
+    common.user_dir, utils/__init__.py import_user_module)."""
+    import importlib.util
+
+    path = os.path.abspath(os.path.expanduser(path))
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"user_dir {path!r} is not a directory")
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".py") or fname.startswith("_"):
+            continue
+        mod_name = f"ofasys_user_{fname[:-3]}"
+        spec = importlib.util.spec_from_file_location(mod_name, os.path.join(path, fname))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[mod_name] = mod
+        spec.loader.exec_module(mod)
 
 
 def _flatten(d: Dict, prefix: str = "") -> Dict[str, Any]:

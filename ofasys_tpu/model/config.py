@@ -22,7 +22,11 @@ class TransformerStackConfig(BaseDataclass):
     layers: int = 4
     attention_heads: int = 4
     normalize_before: bool = True
-    learned_pos: bool = True
+    # (reference learned_pos deleted: positions are always learned
+    # embeddings, the only variant the reference archs ship)
+    # LayerDrop (reference layerdrop / LayerDropModuleList): each training
+    # step drops whole layers with this probability (loop layout only —
+    # scan_layers shares one compiled body across layers)
     layerdrop: float = 0.0
 
 
@@ -40,8 +44,10 @@ class GeneralistModelConfig(BaseDataclass):
     max_source_positions: int = 1024
     max_target_positions: int = 1024
 
-    share_all_embeddings: bool = True
-    share_decoder_input_output_embed: bool = True
+    # (reference share_all_embeddings / share_decoder_input_output_embed
+    # deleted: sharing is structural here — ONE global embed_tokens serves
+    # every adaptor, and the text adaptor's tied output projection is its
+    # own knob, adaptor/text.py share_input_output_embed)
     no_scale_embedding: bool = True
     layernorm_embedding: bool = True
     add_type_embedding: bool = True

@@ -282,6 +282,13 @@ class GeneralistModel:
         self.global_dict = global_dict
         if self.cfg.pipeline_stages > 1 and not self.cfg.scan_layers:
             raise ValueError("pipeline_stages > 1 requires scan_layers=True (stacked layer params)")
+        if self.cfg.scan_layers and (
+            self.cfg.encoder.layerdrop > 0.0 or self.cfg.decoder.layerdrop > 0.0
+        ):
+            raise ValueError(
+                "layerdrop requires the loop layer layout (scan_layers=False): "
+                "nn.scan shares one compiled body across layers"
+            )
         if self.cfg.pipeline_stages > 1 and getattr(self.cfg, "sequence_parallel", False):
             # ring attention's shard_map cannot nest inside pipeline_stack's
             # partial-manual shard_map over the same mesh — fail at config

@@ -689,11 +689,22 @@ class TransformerEncoder(nn.Module):
         else:
             # deterministic and modal_spans are static python values
             layer_cls = _maybe_remat(TransformerEncoderLayer, cfg, (4, 5))
+            p_drop = cfg.encoder.layerdrop if not deterministic else 0.0
             for i in range(n_layers):
                 layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype,
                                   mesh=self.mesh, name=f"layers_{i}")
                 bias = bias_spec.layer_bias(i) if bias_spec is not None else None
-                x = layer(x, attn_mask, bias, deterministic, modal_spans)
+                y = layer(x, attn_mask, bias, deterministic, modal_spans)
+                if p_drop > 0.0:
+                    # LayerDrop (reference LayerDropModuleList): the whole
+                    # layer is skipped with prob p at training time. The
+                    # layer still computes (params must exist and shapes
+                    # stay static); the select drops its contribution.
+                    keep = jax.random.bernoulli(
+                        jax.random.fold_in(self.make_rng("dropout"), i), 1.0 - p_drop
+                    )
+                    y = jnp.where(keep, y, x)
+                x = y
         if cfg.encoder.normalize_before:
             x = make_ln(self.cfg, self.dtype, "layer_norm")(x)
         return x
@@ -860,12 +871,21 @@ class TransformerDecoder(nn.Module):
                 if cb is not None and cache is not None:
                     cb = jax.lax.dynamic_slice_in_dim(cb, cache_index, Tt, axis=2)
                 layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
-                x, layer_cache = layer(
+                y, layer_cache = layer(
                     x, encoder_out, self_mask, self_bias, cross_mask, cb,
                     deterministic,
                     None if cache is None else cache[f"layers_{i}"],
                     modal_spans, full_context,
                 )
+                if (cfg.decoder.layerdrop > 0.0 and not deterministic
+                        and cache is None):
+                    # LayerDrop (see encoder loop); never during decode
+                    keep = jax.random.bernoulli(
+                        jax.random.fold_in(self.make_rng("dropout"), i),
+                        1.0 - cfg.decoder.layerdrop,
+                    )
+                    y = jnp.where(keep, y, x)
+                x = y
                 if cache is not None:
                     new_cache[f"layers_{i}"] = layer_cache
         if cfg.decoder.normalize_before:

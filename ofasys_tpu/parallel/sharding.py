@@ -99,6 +99,21 @@ def tree_shardings(tree: Any, mesh: Mesh, rules=None, log_unmatched: bool = Fals
             if len(list(spec)) > ndim:
                 spec = P(*list(spec)[:ndim])
         spec = _fit_spec(spec, ndim)
+        if ndim > 0:
+            # jax requires every sharded dim to divide by its axis size;
+            # axes that don't divide fall back to replicated for that dim
+            # (e.g. zero1's blanket data-axis rule on small moment leaves)
+            entries = []
+            for dim, ax in zip(leaf.shape, spec):
+                if ax is None:
+                    entries.append(None)
+                    continue
+                axes = ax if isinstance(ax, tuple) else (ax,)
+                n = 1
+                for a in axes:
+                    n *= mesh.shape[a]
+                entries.append(ax if n > 0 and dim % n == 0 else None)
+            spec = P(*entries)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
+import logging
 import random
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -33,6 +34,8 @@ from ofasys_tpu.io.reader.readers import (
 )
 from ofasys_tpu.preprocessor.general import DEFAULT_PREPROCESS, GeneralPreprocess
 from ofasys_tpu.preprocessor.instruction import Instruction, Slot
+
+logger = logging.getLogger("ofasys_tpu.task")
 
 
 @dataclass
@@ -165,6 +168,14 @@ class Task:
         files = groups[0]
 
         def open_one(f):
+            if f.endswith(".bin"):
+                # fixed-length binary token blocks (LM pretraining streams);
+                # record length from dataset.text_bin_length
+                from ofasys_tpu.io.reader.object_store import OssTextBinReader
+
+                return OssTextBinReader(
+                    f, block_tokens=self.cfg.dataset.text_bin_length
+                )
             if "://" in f:  # oss:// http:// ... via the scheme-fetcher cache
                 from ofasys_tpu.io.reader.object_store import ObjectStoreLineReader
 
@@ -198,6 +209,14 @@ class Task:
         ist = ist.format(**{k: v for k, v in data.items() if k in open_names or not open_names})
         return self.general_preprocess(ist)
 
+    def max_sample_tokens(self) -> int:
+        """Static per-sample token budget for max_tokens batching: the text
+        preprocessor's truncation lengths bound every slot's contribution."""
+        pre = self.general_preprocess.name2pre.get("text")
+        if pre is not None and hasattr(pre.cfg, "max_src_length"):
+            return int(pre.cfg.max_src_length) + int(pre.cfg.max_tgt_length)
+        return 512
+
     def get_batch_iterator(
         self,
         split: str = "train",
@@ -206,6 +225,7 @@ class Task:
         world_size: int = 1,
         seed: int = 1,
         fresh: bool = False,
+        drop_last: Optional[bool] = None,
     ) -> EpochBatchIterator:
         if fresh:
             self.iterators.pop(split, None)
@@ -218,21 +238,34 @@ class Task:
             if not path:
                 raise ValueError(f"task {self.name}: no dataset for split {split!r}")
             self.load_dataset_from_path(path, split)
-        bsz = self.cfg.dataset.batch_size if split == "train" else (
-            self.cfg.dataset.batch_size_valid or self.cfg.dataset.batch_size
+        dcfg = self.cfg.dataset
+        bsz = dcfg.batch_size if split == "train" else (
+            dcfg.batch_size_valid or dcfg.batch_size
         )
+        if split == "train" and dcfg.max_tokens:
+            # token-budget batching resolved statically (batches must be
+            # shape-stable under jit; see DatasetConfig.max_tokens)
+            mult = max(1, dcfg.required_batch_size_multiple)
+            bsz = max(1, dcfg.max_tokens // self.max_sample_tokens())
+            bsz = max(mult, (bsz // mult) * mult)
+            logger.info(
+                "task %s: max_tokens=%d -> static batch_size=%d "
+                "(%d tokens/sample, multiple of %d)",
+                self.name, dcfg.max_tokens, bsz, self.max_sample_tokens(), mult,
+            )
         it = EpochBatchIterator(
             reader=self.datasets[split],
             process_fn=lambda rec, i: self.process_sample(rec, split),
             collate_fn=self.general_preprocess.collate,
             batch_size=bsz,
-            update_freq=self.cfg.dataset.update_freq if split == "train" else 1,
+            update_freq=dcfg.update_freq if split == "train" else 1,
             shuffle=(split == "train"),
             seed=seed,
             rank=rank,
             world_size=world_size,
-            drop_last=(split == "train"),
+            drop_last=(split == "train") if drop_last is None else drop_last,
             epoch=epoch,
+            prefetch=dcfg.num_workers,
         )
         self.iterators[split] = it
         return it
@@ -245,6 +278,7 @@ class Task:
         kwargs = dict(
             beam_size=g.beam, max_len_a=g.max_len_a, max_len_b=g.max_len_b,
             min_len=g.min_len, temperature=g.temperature, lenpen=g.lenpen,
+            unkpen=g.unkpen,
             no_repeat_ngram_size=g.ngram_blocker, constraint_range=g.constraint_range,
             sampling=g.sampling, sampling_topk=g.sampling_topk, sampling_topp=g.sampling_topp,
             return_n_best=g.return_n_best,

@@ -53,6 +53,11 @@ def save_checkpoint(
     keep_last: int = -1,
     is_best: bool = False,
     async_save: bool = False,
+    keep_best: int = -1,            # rotate checkpoint_best_<tag> mirrors
+    best_tag: int = 0,
+    keep_epochs: int = -1,          # rotate checkpoint_e<N> epoch saves
+    mirror_last: bool = True,       # maintain the checkpoint_last mirror
+    keep_pattern: int = -1,         # never prune updates divisible by this
 ):
     """``async_save``: the reference ships async checkpoint writes (iopath,
     utils/checkpoint_utils.py:433); here orbax's AsyncCheckpointer blocks
@@ -83,12 +88,20 @@ def save_checkpoint(
             json.dump(meta, f)
     # maintain checkpoint_last symlink-style copy
     last = os.path.join(save_dir, "checkpoint_last")
-    if name != "checkpoint_last":
+    if name != "checkpoint_last" and mirror_last:
         _mirror(path, last)
     if is_best:
         _mirror(path, os.path.join(save_dir, "checkpoint_best"))
+        if keep_best > 0:
+            _mirror(path, os.path.join(save_dir, f"checkpoint_best_{best_tag}"))
+            _prune(save_dir, keep_best, pattern=r"^checkpoint_best_(\d+)$")
+    # under async_save the just-written checkpoint may not be on disk yet
+    # (orbax finalizes in the background) — count it explicitly so rotation
+    # keeps exactly N including the in-flight one
     if keep_last > 0:
-        _prune(save_dir, keep_last)
+        _prune(save_dir, keep_last, extra=name, keep_multiple=keep_pattern)
+    if keep_epochs > 0:
+        _prune(save_dir, keep_epochs, pattern=r"^checkpoint_e(\d+)$", extra=name)
 
 
 def _remove(path: str):
@@ -106,17 +119,28 @@ def _mirror(src: str, dst: str):
         shutil.copy(meta, dst + ".meta.json")
 
 
-def _prune(save_dir: str, keep: int):
-    pat = re.compile(r"^checkpoint_(\d+)_(\d+)$")
+def _prune(save_dir: str, keep: int, pattern: str = r"^checkpoint_(\d+)_(\d+)$",
+           extra: Optional[str] = None, keep_multiple: int = -1):
+    pat = re.compile(pattern)
+    names = set(os.listdir(save_dir))
+    if extra is not None:
+        names.add(extra)
     cands = []
-    for n in os.listdir(save_dir):
+    for n in names:
         m = pat.match(n)
         if m:
-            cands.append((int(m.group(2)), n))
+            cands.append((int(m.group(m.lastindex)), n))
     cands.sort(reverse=True)
+    if keep_multiple > 0:
+        # reference keep_interval_updates_pattern (checkpoint_utils.py:99):
+        # updates divisible by the pattern survive rotation indefinitely
+        cands = [(t, n) for t, n in cands if t % keep_multiple != 0]
     for _, n in cands[keep:]:
         p = os.path.join(save_dir, n)
-        shutil.rmtree(p, ignore_errors=True)
+        if os.path.islink(p):
+            os.remove(p)
+        else:
+            shutil.rmtree(p, ignore_errors=True)
         if os.path.exists(p + ".meta.json"):
             os.remove(p + ".meta.json")
 
@@ -141,6 +165,19 @@ def load_checkpoint(path: str, target: Optional[Any] = None):
         with open(meta_path) as f:
             meta = json.load(f)
     return state, meta
+
+
+def load_ema_from_checkpoint(path: str, target: Optional[Any] = None):
+    """Return the EMA shadow weights of a checkpoint as a plain params tree
+    (reference utils/checkpoint_utils.py:712 load_ema_from_checkpoint —
+    there it rewrites extra_state['ema'] into the model key; here the EMA
+    tree IS params-shaped already). Raises if the run trained without
+    ``ema.store_ema``."""
+    state, meta = load_checkpoint(path, target=target)
+    ema = state.get("ema_params") if isinstance(state, dict) else getattr(state, "ema_params", None)
+    if ema is None:
+        raise ValueError(f"checkpoint {path} has no EMA shadow (train with ema.store_ema=True)")
+    return ema, meta
 
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:
