@@ -70,7 +70,7 @@ class SequenceGenerator:
 
     def __init__(
         self,
-        model,                       # GeneralistModel (initialized)
+        model,                       # GeneralistModel or a list (ensemble)
         dictionary,
         beam_size: int = 5,
         max_len_a: float = 0.0,
@@ -78,6 +78,7 @@ class SequenceGenerator:
         min_len: int = 1,
         temperature: float = 1.0,
         lenpen: float = 1.0,
+        unkpen: float = 0.0,
         no_repeat_ngram_size: int = 0,
         constraint_range: Optional[str] = None,
         sampling: bool = False,
@@ -91,7 +92,13 @@ class SequenceGenerator:
         diversity_rate: float = 0.5,     # diverse_siblings rank penalty
         constraint_representation: str = "unordered",  # pointer | ordered | unordered
     ):
-        self.model = model
+        # ensemble decoding (reference EnsembleModel,
+        # sequence_generator.py:754-778 + utils/checkpoint_utils.py:346
+        # load_model_ensemble_and_task): step log-probs are the log of the
+        # MEAN probability across models (logsumexp - log n); each model
+        # carries its own KV cache through the one jitted while_loop
+        self.models = list(model) if isinstance(model, (list, tuple)) else [model]
+        self.model = self.models[0]
         self.dictionary = dictionary
         self.bos = dictionary.bos()
         self.eos = dictionary.eos()
@@ -102,6 +109,8 @@ class SequenceGenerator:
         self.min_len = min_len
         self.temperature = temperature
         self.lenpen = lenpen
+        self.unkpen = unkpen
+        self.unk = dictionary.unk()
         self.ngram = no_repeat_ngram_size
         self.sampling = sampling
         self.sampling_topk = sampling_topk
@@ -193,23 +202,34 @@ class SequenceGenerator:
     # --------------------------------------------------------------- jitted
     def _generate(self, params, src_slots, tgt_slot, prefix_tokens, rng, cons=None, *,
                   max_len: int, prefix_len: int, mach=None):
-        net = self.model.net
         K = self.beam_size
-        enc = net.apply(_vars(params), src_slots, method=net.encode)
-        B = enc.x.shape[0]
-        N = B * K
-        enc = EncoderOut(
-            x=_expand_beam(enc.x, K),
-            padding_mask=_expand_beam(enc.padding_mask, K),
-            pos_embed=enc.pos_embed,  # batch-1, broadcastable
-        )
-        T_buf = max_len + 2
-        dummy = dataclasses.replace(
-            tgt_slot, value={"inputs": jnp.zeros((N, T_buf), jnp.int32)}
-        )
-        bias_spec, cross_bias, cache = net.apply(
-            _vars(params), [dummy], enc, T_buf, method=net.decode_prepare
-        )
+        plist = list(params) if isinstance(params, (list, tuple)) else [params]
+        n_models = len(self.models)
+        encs, bias_specs, cross_biases, caches = [], [], [], []
+        B = N = T_buf = None
+        for m, p in zip(self.models, plist):
+            net = m.net
+            enc = net.apply(_vars(p), src_slots, method=net.encode)
+            if B is None:
+                B = enc.x.shape[0]
+                N = B * K
+                T_buf = max_len + 2
+                dummy = dataclasses.replace(
+                    tgt_slot, value={"inputs": jnp.zeros((N, T_buf), jnp.int32)}
+                )
+            enc = EncoderOut(
+                x=_expand_beam(enc.x, K),
+                padding_mask=_expand_beam(enc.padding_mask, K),
+                pos_embed=enc.pos_embed,  # batch-1, broadcastable
+            )
+            bias_spec, cross_bias, cache = net.apply(
+                _vars(p), [dummy], enc, T_buf, method=net.decode_prepare
+            )
+            encs.append(enc)
+            bias_specs.append(bias_spec)
+            cross_biases.append(cross_bias)
+            caches.append(cache)
+        cache = tuple(caches)   # one KV-cache pytree per ensemble member
 
         seq = jnp.full((B, K, T_buf), self.pad, jnp.int32).at[:, :, 0].set(self.bos)
         alive_lp = jnp.tile(jnp.asarray([[0.0] + [NEG_INF] * (K - 1)]), (B, 1))  # only beam 0 alive at start
@@ -227,14 +247,29 @@ class SequenceGenerator:
         lexstate = mach.init(cons, N) if lexical else jnp.zeros((N, 1), jnp.int32)
 
         def step_logits(carry_seq, step, cache):
+            """Single model: raw last-token logits (the caller applies
+            temperature + log_softmax, keeping the 1-model path bit-identical
+            to before). Ensemble: already-normalized mean-probability
+            log-probs (reference EnsembleModel.forward_decoder)."""
             tokens = jax.lax.dynamic_slice_in_dim(
                 carry_seq.reshape(N, T_buf), step, 1, axis=1
             )
-            logits, _, new_cache = net.apply(
-                _vars(params), tokens, step, enc, bias_spec, cross_bias, cache,
-                tgt_slot, method=net.decode_step,
-            )
-            return logits[:, -1].astype(jnp.float32), new_cache
+            outs, new_caches = [], []
+            for i, (m, p) in enumerate(zip(self.models, plist)):
+                net_i = m.net
+                logits, _, nc = net_i.apply(
+                    _vars(p), tokens, step, encs[i], bias_specs[i],
+                    cross_biases[i], cache[i], tgt_slot, method=net_i.decode_step,
+                )
+                outs.append(logits[:, -1].astype(jnp.float32))
+                new_caches.append(nc)
+            if n_models == 1:
+                return outs[0], (new_caches[0],)
+            if self.temperature != 1.0:
+                outs = [o / self.temperature for o in outs]
+            lps = jnp.stack([jax.nn.log_softmax(o, axis=-1) for o in outs])
+            avg = jax.nn.logsumexp(lps, axis=0) - jnp.log(float(n_models))
+            return avg, tuple(new_caches)
 
         def cond(state):
             step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexstate = state
@@ -246,12 +281,17 @@ class SequenceGenerator:
         def body(state):
             step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexstate = state
             lp, cache = step_logits(seq, step, cache)           # (N, V)
-            if self.temperature != 1.0:
-                lp = lp / self.temperature
-            lp = jax.nn.log_softmax(lp, axis=-1)
+            if n_models == 1:
+                if self.temperature != 1.0:
+                    lp = lp / self.temperature
+                lp = jax.nn.log_softmax(lp, axis=-1)
             V = lp.shape[-1]
 
             lp = search.apply_min_len(lp, step, self.min_len, self.eos)
+            if self.unkpen:
+                # reference unk penalty (sequence_generator.py:77): subtract
+                # unkpen from <unk>'s log-prob at every step
+                lp = lp.at[:, self.unk].add(-self.unkpen)
             if self.trie is not None:
                 lp = lp + search.trie_allowed_mask(self.trie, tstates, V)
             if self.constraint_start is not None:

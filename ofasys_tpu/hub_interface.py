@@ -52,13 +52,31 @@ class OFASys:
         self.tasks = tasks or {}
         self._generators: Dict[Any, Any] = {}
         self._draft = None           # (draft_model, draft_params, gamma)
+        self._ensemble = None        # (models list, params list) when >1 ckpt
 
     # ------------------------------------------------------------- loading
     @classmethod
-    def from_pretrained(cls, path: str, dtype=jnp.bfloat16) -> "OFASys":
+    def from_pretrained(cls, path, dtype=jnp.bfloat16, use_ema: bool = False) -> "OFASys":
         """Rebuild everything from a checkpoint + its JSON metadata
         (reference hub_interface.py:106-160: configs + vocab travel in the
-        checkpoint so inference needs nothing else)."""
+        checkpoint so inference needs nothing else).
+
+        ``path`` may be a LIST of checkpoints — generation then ensembles
+        them, averaging per-step probabilities (reference
+        load_model_ensemble_and_task, utils/checkpoint_utils.py:346).
+        ``use_ema`` serves the EMA shadow weights instead of the raw params
+        (reference load_ema_from_checkpoint, utils/checkpoint_utils.py:712)."""
+        if isinstance(path, (list, tuple)) and len(path) > 1:
+            hubs = [cls.from_pretrained(p, dtype=dtype, use_ema=use_ema) for p in path]
+            first = hubs[0]
+            syms = first.global_dict.state_dict()["symbols"]
+            for h in hubs[1:]:
+                if h.global_dict.state_dict()["symbols"] != syms:
+                    raise ValueError("ensemble members must share one vocabulary")
+            first._ensemble = ([h.model for h in hubs], [h.params for h in hubs])
+            return first
+        if isinstance(path, (list, tuple)):
+            path = path[0]
         raw, meta = checkpoint_utils.load_checkpoint(path)
         if meta is None:
             raise ValueError(f"checkpoint {path} has no .meta.json sidecar")
@@ -71,6 +89,14 @@ class OFASys:
         ConfigStore().load_state_dict(meta.get("configstore", {}), activate=False)
 
         params = raw["params"] if isinstance(raw, dict) and "params" in raw else raw
+        if use_ema:
+            ema = raw.get("ema_params") if isinstance(raw, dict) else None
+            if ema is None:
+                raise ValueError(
+                    f"use_ema: checkpoint {path} has no EMA shadow "
+                    "(train with ema.store_ema=True)"
+                )
+            params = ema
         # preprocessors: activate from checkpointed task templates when
         # available; text is always present
         active_pre = ["text"]
@@ -101,6 +127,8 @@ class OFASys:
         (quantize from a *copy* of trained params). Returns self."""
         from ofasys_tpu.ops.quant import quantize_for_serving
 
+        if self._ensemble is not None:
+            raise ValueError("quantize() does not support ensembles — quantize each member before ensembling")
         if not (isinstance(self.params, dict) and "qkern" in self.params):
             self.params = quantize_for_serving(
                 self.params.get("params", self.params)
@@ -154,6 +182,7 @@ class OFASys:
         has_prefix = prefix is not None and prefix.size
         speculative = (
             self._draft is not None
+            and self._ensemble is None
             and gen_kwargs.get("beam_size", 5) == 1
             and not gen_kwargs.get("sampling", False)
             and not gen_kwargs.get("no_repeat_ngram_size", 0)
@@ -179,15 +208,18 @@ class OFASys:
                 from ofasys_tpu.generator import SequenceGenerator
 
                 self._generators[key] = SequenceGenerator(
-                    self.model, self.global_dict, **gen_kwargs
+                    self._ensemble[0] if self._ensemble else self.model,
+                    self.global_dict, **gen_kwargs,
                 )
         gen = self._generators[key]
 
         if speculative:
             outputs = gen.generate(self.params, self._draft[1], sample)
         else:
-            outputs = gen.generate(self.params, sample,
-                                   prefix_tokens=prefix if has_prefix else None)
+            outputs = gen.generate(
+                self._ensemble[1] if self._ensemble else self.params, sample,
+                prefix_tokens=prefix if has_prefix else None,
+            )
         for hyps in outputs:
             self.general_preprocess.postprocess(hyps, sample)
         results = [hyps[0] if len(hyps) == 1 else hyps for hyps in outputs]

@@ -179,3 +179,29 @@ def test_video_augmentation_paths():
     out = pre.map(slot)
     assert out.value["inputs"].shape == (4, 16, 16, 3)
     assert np.isfinite(out.value["inputs"]).all()
+
+
+def test_create_oss_list_objects_manifest(tmp_path):
+    from ofasys_tpu.tools.create_oss_list_objects import MANIFEST, write_manifest
+
+    path = "oss://bucket/data/"
+    listing = [
+        "oss://bucket/data/part-0.tsv",
+        "oss://bucket/data/part-1.tsv",
+        "oss://bucket/data/sub/",            # directory: skipped
+        "oss://bucket/data/__list_object__.txt",  # bookkeeping: skipped
+        "oss://other/elsewhere.tsv",         # outside path: skipped
+    ]
+    uploads = {}
+    local = write_manifest(
+        path, out_dir=str(tmp_path),
+        list_fn=lambda p: listing,
+        put_fn=lambda src, dst: uploads.update({dst: open(src).read()}),
+    )
+    assert os.path.basename(local) == MANIFEST
+    lines = open(local).read().splitlines()
+    assert lines == ["oss://bucket/data/part-0.tsv", "oss://bucket/data/part-1.tsv"]
+    assert path + MANIFEST in uploads
+
+    with pytest.raises(ValueError):
+        write_manifest("oss://bucket/data", list_fn=lambda p: [])

@@ -148,3 +148,30 @@ def test_ngram_blocking(trained):
         toks = hyps[0].tokens[:-1].tolist()
         bigrams = list(zip(toks, toks[1:]))
         assert len(bigrams) == len(set(bigrams)), toks
+
+
+def test_ensemble_of_identical_models_matches_single(trained):
+    """Averaging N identical distributions is the identity — the ensemble
+    path (per-model caches, logsumexp-mean) must reproduce the single-model
+    beam exactly (reference EnsembleModel semantics)."""
+    m, d, params, batch = trained
+    single = SequenceGenerator(m, d, beam_size=2, max_len_b=8).generate(
+        params, _sample(batch))
+    duo = SequenceGenerator([m, m], d, beam_size=2, max_len_b=8).generate(
+        [params, params], _sample(batch))
+    for s, e in zip(single, duo):
+        np.testing.assert_array_equal(s[0].tokens, e[0].tokens)
+        assert abs(s[0].score - e[0].score) < 1e-4
+
+
+def test_ensemble_mixes_member_distributions(trained):
+    """An ensemble with an untrained member must still decode (and generally
+    diverge from the trained model alone): exercises per-member KV caches
+    and the probability average."""
+    m, d, params, batch = trained
+    fresh = m.init_params(jax.random.PRNGKey(7), batch["net_input"]["slots"])
+    out = SequenceGenerator([m, m], d, beam_size=2, max_len_b=8).generate(
+        [params, fresh], _sample(batch))
+    assert len(out) == 4
+    for hyps in out:
+        assert hyps[0].tokens[-1] == d.eos()

@@ -148,3 +148,49 @@ def test_hub_speculative_inference_matches_greedy():
     beam = hub.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "hello world"},
                          beam_size=2, max_len_b=8)
     assert beam.text is not None
+
+
+def test_hub_ensemble_and_ema_serving(tmp_path):
+    """from_pretrained with a LIST ensembles checkpoints (reference
+    load_model_ensemble_and_task); use_ema serves the EMA shadow weights
+    (reference load_ema_from_checkpoint)."""
+    from ofasys_tpu import GeneralistModel, OFASys, Task, Trainer
+    from ofasys_tpu.configure import TrainerConfig
+    from ofasys_tpu.utils import checkpoint_utils
+
+    recs = [{"src": w, "tgt": w} for w in ["alpha", "beta"]] * 8
+    task = Task(name="copy", instruction="[TEXT:src] -> [TEXT:tgt]")
+    task.cfg.dataset.batch_size = 8
+    task.add_dataset(recs, "train")
+
+    model = GeneralistModel(arch="tiny")
+    model.cfg.encoder.layers = model.cfg.decoder.layers = 1
+    model.cfg.dropout = 0.0
+    cfg = TrainerConfig()
+    cfg.optimization.lr = (1e-2,)
+    cfg.ema.store_ema = True
+    cfg.ema.ema_decay = 0.5
+    cfg.checkpoint.save_dir = str(tmp_path / "ck1")
+    Trainer(cfg).fit(model, [task], max_update=20)
+
+    p1 = str(tmp_path / "ck1" / "checkpoint_last")
+
+    # EMA weights restore and serve
+    ema, _ = checkpoint_utils.load_ema_from_checkpoint(p1)
+    assert ema is not None
+    hub_ema = OFASys.from_pretrained(p1, use_ema=True)
+    out = hub_ema.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "alpha"},
+                            beam_size=1, max_len_b=6)
+    assert isinstance(out.text, str)
+
+    # two-member ensemble of the same checkpoint == single model
+    hub1 = OFASys.from_pretrained(p1)
+    hub2 = OFASys.from_pretrained([p1, p1])
+    o1 = hub1.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "alpha"},
+                        beam_size=2, max_len_b=6)
+    o2 = hub2.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "alpha"},
+                        beam_size=2, max_len_b=6)
+    np.testing.assert_array_equal(o1.tokens, o2.tokens)
+
+    with pytest.raises(ValueError):
+        hub2.quantize("w8a8")
