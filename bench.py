@@ -91,6 +91,8 @@ def build_model_and_batches():
         model.cfg.remat = os.environ["BENCH_REMAT"]
     if os.environ.get("BENCH_QT"):           # A/B: none | fwd (int8 training)
         model.cfg.quant_training = os.environ["BENCH_QT"]
+    if os.environ.get("BENCH_ATTN"):         # A/B: fp32 | compute (score dtype)
+        model.cfg.attn_logits = os.environ["BENCH_ATTN"]
     model.initialize(
         d, active_adaptors=("text", "image_vit", "audio_fbank"), dtype=jnp.bfloat16
     )

@@ -74,6 +74,15 @@ class GeneralistModelConfig(BaseDataclass):
     #   'pallas' — Pallas forward AND backward (loses the in-context A/B;
     #              kept for odd stacks where XLA fusion is unavailable)
     ln_impl: str = "xla"
+    # dtype of the materialized (B,H,T,T) attention scores on the XLA path:
+    #   'compute' — store scores in the compute dtype; softmax math stays
+    #               fp32 over the rounded values. Matches the torch
+    #               reference under fp16 (bmm half, softmax(dtype=float32),
+    #               multihead_attention.py:334-349) and halves score HBM
+    #               traffic: measured 1488 vs 1362 samples/s on the mixed
+    #               bench (+9.3%). No-op under fp32 compute.
+    #   'fp32'    — full-precision scores end to end.
+    attn_logits: str = "compute"
     remat: str = "none"                # 'none' | 'full' | 'dots' — per-layer jax.checkpoint
                                        # ('dots' saves matmul results only; elementwise
                                        # chains recompute in the backward)

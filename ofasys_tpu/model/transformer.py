@@ -174,6 +174,9 @@ class MultiheadAttention(nn.Module):
     # contract on the int8 MXU with a straight-through bf16 backward; only
     # active on non-deterministic (training) calls so eval/decode stay exact
     qtrain: bool = False
+    # cfg.attn_logits='compute': materialized (B,H,T,T) scores stored in the
+    # compute dtype (softmax math stays fp32) — see model/config.py
+    logits_compute: bool = False
 
     @nn.compact
     def __call__(
@@ -289,6 +292,7 @@ class MultiheadAttention(nn.Module):
                 bias=bias, mask=eff_mask, scale=scaling,
                 dropout_rate=dropout, dropout_rng=dropout_rng,
                 dtype=self.dtype,
+                logits_dtype=self.dtype if self.logits_compute else None,
             )
         if self.is_mutable_collection("intermediates"):
             # observers (guided-attention loss) request probabilities by
@@ -435,6 +439,7 @@ class TransformerEncoderLayer(nn.Module):
             mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
             qmode=getattr(cfg, "quant_mode", "w8a8"),
             qtrain=getattr(cfg, "quant_training", "none") == "fwd",
+            logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
         )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
           deterministic=deterministic)
         if cfg.scale_attn:
@@ -500,6 +505,7 @@ class TransformerDecoderLayer(nn.Module):
             mesh=self.mesh, seq_parallel=getattr(cfg, "sequence_parallel", False),
             qmode=getattr(cfg, "quant_mode", "w8a8"),
             qtrain=getattr(cfg, "quant_training", "none") == "fwd",
+            logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
         )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
@@ -521,6 +527,7 @@ class TransformerDecoderLayer(nn.Module):
                 dropout=cfg.attention_dropout, dtype=self.dtype, name="encoder_attn",
                 qmode=getattr(cfg, "quant_mode", "w8a8"),
                 qtrain=getattr(cfg, "quant_training", "none") == "fwd",
+                logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
             )(h, encoder_out, bias=cross_bias, mask=cross_mask,
               use_flash=cfg.use_flash_attention, deterministic=deterministic,
               cache=None if cache is None else cache.get("cross"), static_kv=True)

@@ -41,6 +41,7 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     dtype: Optional[jnp.dtype] = None,
+    logits_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """Batched multi-head attention with additive bias (XLA path)."""
     out_dtype = dtype or q.dtype
@@ -54,6 +55,13 @@ def dot_product_attention(
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, MASK_VALUE)
+    if logits_dtype is not None and logits_dtype != jnp.float32:
+        # store the materialized (B,H,Tq,Tk) scores in the compute dtype,
+        # halving their HBM traffic; softmax math stays fp32 over the
+        # rounded values — the torch reference behaves exactly this way
+        # under fp16 (bmm in half, softmax(dtype=float32),
+        # multihead_attention.py:334-349)
+        logits = logits.astype(logits_dtype).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
