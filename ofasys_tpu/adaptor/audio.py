@@ -38,6 +38,11 @@ class AudioFbankAdaptorConfig(BaseAdaptorConfig):
     # the speech_pretrain criterion).
     mask_length: int = 10
     mask_channel_length: int = 10
+    # run this many transformer encoder layers over the subsampled frames
+    # INSIDE the adaptor, before the shared encoder sees them (reference
+    # adaptor/audio.py:338 build_encoder_layer — its ASR configs prepend a
+    # small audio-only stack). 0 = off.
+    extra_encoder_layers: int = 0
 
 
 @dataclass
@@ -88,6 +93,16 @@ class AudioFbankAdaptor(BaseAdaptor):
             padding_mask = jnp.arange(Ts)[None, :] >= sub_lengths[:, None]
         else:
             padding_mask = jnp.zeros((B, Ts), bool)
+
+        if acfg.extra_encoder_layers > 0:
+            # audio-only pre-encoder stack (reference adaptor/audio.py:338)
+            from ofasys_tpu.model.transformer import TransformerEncoderLayer
+
+            attn_mask = (~padding_mask)[:, None, None, :]  # keep-mask (B,1,1,Ts)
+            for i in range(acfg.extra_encoder_layers):
+                x = TransformerEncoderLayer(
+                    self.cfg, dtype=self.dtype, name=f"extra_layers_{i}"
+                )(x, attn_mask, None, deterministic)
 
         max_pos = self.cfg.max_source_positions
         pos_embed = nn.Embed(max_pos + 2, self.embed_dim, dtype=self.dtype,

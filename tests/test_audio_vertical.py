@@ -1,5 +1,6 @@
 """Audio vertical: fbank features, ASR task forward, TTS train + AR decode."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -96,3 +97,29 @@ def test_tts_task_trains_and_decodes():
     assert outs[0].feature.shape[1] == 80
     task.general_preprocess.postprocess(outs, batch)
     assert outs[0].waveform is not None and outs[0].waveform.ndim == 1
+
+
+def test_asr_extra_encoder_layers_train():
+    """Audio-only pre-encoder stack inside the adaptor (reference
+    adaptor/audio.py:338): extra_encoder_layers=1 adds params and trains."""
+    recs = [{"wav": (make_wav(200 + 100 * (i % 4)), 16000),
+             "txt": ["low", "mid", "high", "top"][i % 4]} for i in range(16)]
+    task = Task(name="asr_x", instruction="[AUDIO:wav] what is the transcription? -> [TEXT:txt]",
+                criterion="speech_to_text_loss")
+    ConfigStore().get("ofasys.preprocess", "audio").config.max_frames = 64
+    ConfigStore().get("ofasys.adaptor", "audio_fbank").config.extra_encoder_layers = 1
+    try:
+        task.cfg.dataset.batch_size = 8
+        task.add_dataset(recs, "train")
+        model = GeneralistModel(arch="tiny")
+        model.cfg.encoder.layers = model.cfg.decoder.layers = 1
+        cfg = TrainerConfig()
+        cfg.checkpoint.no_save = True
+        trainer = Trainer(cfg)
+        trainer.fit(model, [task], max_update=4)
+        assert np.isfinite(trainer.meters["asr_x:loss"].avg)
+        flat = jax.tree_util.tree_leaves_with_path(trainer.state.params)
+        names = ["/".join(str(k) for k in path) for path, _ in flat]
+        assert any("extra_layers_0" in n for n in names), "pre-encoder stack params missing"
+    finally:
+        ConfigStore().get("ofasys.adaptor", "audio_fbank").config.extra_encoder_layers = 0
