@@ -206,6 +206,9 @@ class GenerationConfig(BaseDataclass):
     constraint_range: Optional[str] = None
     lenpen: float = 1.0
     unkpen: float = 0.0
+    max_len: int = -1              # hard cap on a*src+b (reference max_len=256)
+    normalize_scores: bool = True  # divide final scores by len**lenpen
+    match_source_len: bool = False # force output length == source length
     # search strategy family (reference utils/search.py:204-787)
     search_strategy: str = "beam"    # beam | diverse_beam | diverse_siblings | lexical
     num_groups: int = 2              # diverse_beam groups

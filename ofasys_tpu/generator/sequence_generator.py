@@ -79,6 +79,9 @@ class SequenceGenerator:
         temperature: float = 1.0,
         lenpen: float = 1.0,
         unkpen: float = 0.0,
+        max_len: int = -1,
+        normalize_scores: bool = True,
+        match_source_len: bool = False,
         no_repeat_ngram_size: int = 0,
         constraint_range: Optional[str] = None,
         sampling: bool = False,
@@ -110,6 +113,9 @@ class SequenceGenerator:
         self.temperature = temperature
         self.lenpen = lenpen
         self.unkpen = unkpen
+        self.max_len_cap = max_len
+        self.normalize_scores = normalize_scores
+        self.match_source_len = match_source_len
         self.unk = dictionary.unk()
         self.ngram = no_repeat_ngram_size
         self.sampling = sampling
@@ -151,6 +157,13 @@ class SequenceGenerator:
             if x is not None and getattr(x, "ndim", 0) == 2:
                 src_len = max(src_len, int(x.shape[1]))
         max_len = int(self.max_len_a * src_len + self.max_len_b)
+        if self.max_len_cap > 0:
+            max_len = min(max_len, self.max_len_cap)
+        min_len = self.min_len
+        if self.match_source_len and src_len > 0:
+            # reference LengthConstrainedBeamSearch via match_source_len
+            # (task/base.py:494-520): output length pinned to source length
+            max_len = min_len = src_len
 
         P = 0
         if prefix_tokens is None and sample.get("prefix_tokens") is not None:
@@ -172,14 +185,14 @@ class SequenceGenerator:
                                  "(per-sample lists of token sequences)")
             cons, mach = search.build_constraints(raw, self.constraint_representation)
 
-        key = (B, max_len, P, self.beam_size, self.sampling,
+        key = (B, max_len, min_len, P, self.beam_size, self.sampling,
                self.search_strategy,
                None if cons is None
                else (jax.tree.map(lambda a: a.shape, cons), mach))
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
-                functools.partial(self._generate, max_len=max_len, prefix_len=P,
-                                  mach=mach)
+                functools.partial(self._generate, max_len=max_len, min_len=min_len,
+                                  prefix_len=P, mach=mach)
             )
         seqs, scores = self._compiled[key](params, src_slots, tgt_slot, jnp.asarray(prefix_tokens),
                                            jax.random.PRNGKey(seed), cons)
@@ -199,9 +212,16 @@ class SequenceGenerator:
             out.append(hyps)
         return out
 
+    def _norm(self, length):
+        """Score normalizer: length**lenpen when normalize_scores (reference
+        normalize_scores/len_penalty, sequence_generator.py:76-77), else 1."""
+        if not self.normalize_scores:
+            return jnp.float32(1.0)
+        return search.length_penalty(length, self.lenpen)
+
     # --------------------------------------------------------------- jitted
     def _generate(self, params, src_slots, tgt_slot, prefix_tokens, rng, cons=None, *,
-                  max_len: int, prefix_len: int, mach=None):
+                  max_len: int, min_len: int, prefix_len: int, mach=None):
         K = self.beam_size
         plist = list(params) if isinstance(params, (list, tuple)) else [params]
         n_models = len(self.models)
@@ -273,7 +293,7 @@ class SequenceGenerator:
 
         def cond(state):
             step, seq, alive_lp, fin_seq, fin_scores, fin_flags, cache, rng, tstates, lexstate = state
-            best_alive = jnp.max(alive_lp, axis=1) / search.length_penalty(jnp.asarray(max_len), self.lenpen)
+            best_alive = jnp.max(alive_lp, axis=1) / self._norm(jnp.asarray(max_len))
             worst_fin = jnp.min(jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
             improvable = jnp.any(~fin_flags.all(axis=1) | (best_alive > worst_fin))
             return (step <= max_len) & improvable
@@ -287,7 +307,7 @@ class SequenceGenerator:
                 lp = jax.nn.log_softmax(lp, axis=-1)
             V = lp.shape[-1]
 
-            lp = search.apply_min_len(lp, step, self.min_len, self.eos)
+            lp = search.apply_min_len(lp, step, min_len, self.eos)
             if self.unkpen:
                 # reference unk penalty (sequence_generator.py:77): subtract
                 # unkpen from <unk>'s log-prob at every step
@@ -378,7 +398,7 @@ class SequenceGenerator:
 
             is_eos = cand_tok == self.eos
             # ---- merge newly finished into the finished pool
-            cand_scores = topk_lp / search.length_penalty(step + 1, self.lenpen)
+            cand_scores = topk_lp / self._norm(step + 1)
             can_finish = is_eos
             if cand_banks is not None:
                 # a hypothesis may only finish once every constraint is met

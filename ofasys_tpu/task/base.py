@@ -278,7 +278,9 @@ class Task:
         kwargs = dict(
             beam_size=g.beam, max_len_a=g.max_len_a, max_len_b=g.max_len_b,
             min_len=g.min_len, temperature=g.temperature, lenpen=g.lenpen,
-            unkpen=g.unkpen,
+            unkpen=g.unkpen, max_len=g.max_len,
+            normalize_scores=g.normalize_scores,
+            match_source_len=g.match_source_len,
             no_repeat_ngram_size=g.ngram_blocker, constraint_range=g.constraint_range,
             sampling=g.sampling, sampling_topk=g.sampling_topk, sampling_topp=g.sampling_topp,
             return_n_best=g.return_n_best,

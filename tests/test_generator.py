@@ -175,3 +175,32 @@ def test_ensemble_mixes_member_distributions(trained):
     assert len(out) == 4
     for hyps in out:
         assert hyps[0].tokens[-1] == d.eos()
+
+
+def test_match_source_len_and_max_len_cap(trained):
+    m, d, params, batch = trained
+    # match_source_len pins content length to the source length (5 here)
+    gen = SequenceGenerator(m, d, beam_size=2, max_len_b=20, match_source_len=True)
+    out = gen.generate(params, _sample(batch))
+    src_len = batch["net_input"]["slots"][0].value["inputs"].shape[1]
+    for hyps in out:
+        assert len(hyps[0].tokens) == src_len + 1, hyps[0].tokens  # content + eos
+    # max_len hard-caps a*src+b
+    gen2 = SequenceGenerator(m, d, beam_size=1, max_len_b=50, max_len=3)
+    out2 = gen2.generate(params, _sample(batch))
+    for hyps in out2:
+        assert len(hyps[0].tokens) <= 3 + 2
+
+
+def test_normalize_scores_off_matches_raw_logprob(trained):
+    m, d, params, batch = trained
+    norm = SequenceGenerator(m, d, beam_size=2, max_len_b=8, lenpen=2.0)
+    raw = SequenceGenerator(m, d, beam_size=2, max_len_b=8, lenpen=2.0,
+                            normalize_scores=False)
+    on = norm.generate(params, _sample(batch))
+    off = raw.generate(params, _sample(batch))
+    for a, b in zip(on, off):
+        # same tokens (greedy-ish trained model); raw score = norm * len**2
+        if np.array_equal(a[0].tokens, b[0].tokens):
+            L = len(a[0].tokens)
+            np.testing.assert_allclose(b[0].score, a[0].score * L**2, rtol=1e-4)
