@@ -35,6 +35,19 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
     def __call__(self, model, params, sample, rng=None, train: bool = True):
         slots = sample["net_input"]["slots"]
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        if train and getattr(model.cfg, "moe_experts", 0) > 0:
+            # MoE load-balance aux (transformer.py MoEFeedForward sows into
+            # the 'losses' collection); weighted per token so the gradient
+            # scale survives the later 1/sample_size normalization
+            logits, extra, aux = model.apply(
+                params, slots, deterministic=False, rngs=rngs, with_aux_losses=True
+            )
+            loss, sample_size, logging = self.compute_loss(logits, sample, train=train)
+            w = float(getattr(model.cfg, "moe_aux_weight", 0.01))
+            loss = loss + w * aux * sample_size
+            logging = dict(logging)
+            logging["moe_aux"] = aux * sample_size
+            return loss, sample_size, logging
         logits, extra = model.apply(params, slots, deterministic=not train, rngs=rngs)
         return self.compute_loss(logits, sample, train=train)
 

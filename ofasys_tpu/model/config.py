@@ -87,6 +87,15 @@ class GeneralistModelConfig(BaseDataclass):
                                        # ('dots' saves matmul results only; elementwise
                                        # chains recompute in the backward)
     scan_layers: bool = False          # lax.scan over stacked layer params
+    # Mixture-of-experts FFN (reference module/base_layer.py BaseLayer —
+    # there a separate expert layer per DP rank inserted between blocks;
+    # here the Switch-style TPU redesign: every moe_every_n-th layer's FFN
+    # becomes top-1-routed experts sharded over the mesh 'expert' axis,
+    # all_to_all dispatch, parallel/moe.py). 0 = off.
+    moe_experts: int = 0
+    moe_every_n: int = 2               # every Nth layer is MoE (1-based)
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01       # load-balance aux loss weight/token
     # GPipe pipeline over the 'pipe' mesh axis (parallel/pipeline.py);
     # requires scan_layers (stacked layout) and layers %% stages == 0
     pipeline_stages: int = 1

@@ -289,6 +289,12 @@ class GeneralistModel:
                 "layerdrop requires the loop layer layout (scan_layers=False): "
                 "nn.scan shares one compiled body across layers"
             )
+        if self.cfg.scan_layers and self.cfg.moe_experts > 0:
+            raise ValueError(
+                "moe_experts requires the loop layer layout (scan_layers=False): "
+                "MoE layers have different params than dense layers, which "
+                "breaks nn.scan's homogeneous stacked-parameter structure"
+            )
         if self.cfg.pipeline_stages > 1 and getattr(self.cfg, "sequence_parallel", False):
             # ring attention's shard_map cannot nest inside pipeline_stack's
             # partial-manual shard_map over the same mesh — fail at config
@@ -330,7 +336,18 @@ class GeneralistModel:
         return init(rng, slot_lists)
 
     def apply(self, params, slots: List[SlotBatch], deterministic: bool = True, rngs=None,
-              full_context: bool = False):
+              full_context: bool = False, with_aux_losses: bool = False):
+        """``with_aux_losses``: also return the summed 'losses' collection
+        (MoE load-balance aux, transformer.py MoEFeedForward) as a scalar —
+        (logits, extra, aux). Criteria request this during training."""
+        if with_aux_losses:
+            (logits, extra), mut = self.net.apply(
+                as_variables(params), slots, deterministic=deterministic,
+                rngs=rngs, full_context=full_context, mutable=["losses"],
+            )
+            leaves = jax.tree_util.tree_leaves(mut.get("losses", {}))
+            aux = sum(jnp.sum(l) for l in leaves) if leaves else jnp.float32(0.0)
+            return logits, extra, aux
         return self.net.apply(as_variables(params), slots, deterministic=deterministic,
                               rngs=rngs, full_context=full_context)
 

@@ -91,6 +91,11 @@ def make_ln(cfg: "GeneralistModelConfig", dtype, name: str):
     return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=name)
 
 
+def _is_moe_layer(cfg: "GeneralistModelConfig", i: int) -> bool:
+    """Every moe_every_n-th layer (1-based) carries the MoE FFN."""
+    return cfg.moe_experts > 0 and (i + 1) % max(cfg.moe_every_n, 1) == 0
+
+
 def get_activation_fn(name: str) -> Callable:
     if name == "gelu":
         return lambda x: jax.nn.gelu(x, approximate=False)
@@ -403,6 +408,49 @@ class FeedForward(nn.Module):
         return jnp.concatenate(outs, axis=1)
 
 
+class MoEFeedForward(nn.Module):
+    """Switch-style mixture-of-experts FFN (replaces the reference's
+    BaseLayer, module/base_layer.py:16-142): top-1 routing with capacity,
+    experts sharded over the mesh 'expert' axis with all_to_all dispatch
+    (parallel/moe.py); dense einsum dispatch off-mesh. The load-balance aux
+    loss is sown into the 'losses' collection — criteria add it with
+    cfg.moe_aux_weight when training."""
+
+    cfg: GeneralistModelConfig
+    ffn_dim: int
+    embed_dim: int
+    dtype: Any = jnp.bfloat16
+    mesh: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        from ofasys_tpu.parallel.moe import moe_ffn_dense, moe_ffn_sharded
+
+        cfg = self.cfg
+        E = cfg.moe_experts
+        B, T, D = x.shape
+        router_w = self.param("router", nn.initializers.normal(0.02), (D, E), jnp.float32)
+        w1 = self.param("moe_w1", nn.initializers.lecun_normal(batch_axis=(0,)),
+                        (E, D, self.ffn_dim), jnp.float32)
+        w2 = self.param("moe_w2", nn.initializers.lecun_normal(batch_axis=(0,)),
+                        (E, self.ffn_dim, D), jnp.float32)
+        act = get_activation_fn(cfg.activation_fn)
+        xs = x.reshape(B * T, D)
+        ep = self.mesh.shape.get("expert", 1) if self.mesh is not None else 1
+        if ep > 1 and E % ep == 0 and (B * T) % ep == 0:
+            out, aux = moe_ffn_sharded(
+                xs, router_w, w1, w2, self.mesh,
+                capacity_factor=cfg.moe_capacity_factor, activation=act,
+            )
+        else:
+            out, aux = moe_ffn_dense(
+                xs, router_w, w1, w2,
+                capacity_factor=cfg.moe_capacity_factor, activation=act,
+            )
+        self.sow("losses", "moe_aux", aux)
+        return out.reshape(B, T, D).astype(self.dtype)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Pre-LN encoder block with normformer extras
     (reference module/transformer_layer.py:18-211)."""
@@ -411,6 +459,7 @@ class TransformerEncoderLayer(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
     mesh: Any = None           # for cfg.sequence_parallel ring attention
+    use_moe: bool = False      # this layer's FFN is MoEFeedForward
 
     @nn.compact
     def __call__(
@@ -451,8 +500,12 @@ class TransformerEncoderLayer(nn.Module):
 
         residual = x
         h = ln("final_layer_norm")(x) if cfg.encoder.normalize_before else x
-        h = FeedForward(cfg, cfg.encoder.ffn_embed_dim, cfg.encoder.embed_dim,
-                        dtype=self.dtype, name="ffn")(h, deterministic, modal_spans)
+        if self.use_moe:
+            h = MoEFeedForward(cfg, cfg.encoder.ffn_embed_dim, cfg.encoder.embed_dim,
+                               dtype=self.dtype, mesh=self.mesh, name="moe_ffn")(h, deterministic)
+        else:
+            h = FeedForward(cfg, cfg.encoder.ffn_embed_dim, cfg.encoder.embed_dim,
+                            dtype=self.dtype, name="ffn")(h, deterministic, modal_spans)
         h = dropout(h, deterministic=deterministic)
         if cfg.scale_resids:
             w_resid = self.param("w_resid", nn.initializers.ones, (cfg.encoder.embed_dim,), jnp.float32)
@@ -471,6 +524,7 @@ class TransformerDecoderLayer(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
     mesh: Any = None           # for cfg.sequence_parallel ring attention
+    use_moe: bool = False      # this layer's FFN is MoEFeedForward
 
     @nn.compact
     def __call__(
@@ -542,8 +596,12 @@ class TransformerDecoderLayer(nn.Module):
 
         residual = x
         h = ln("final_layer_norm")(x) if cfg.decoder.normalize_before else x
-        h = FeedForward(cfg, cfg.decoder.ffn_embed_dim, cfg.decoder.embed_dim,
-                        dtype=self.dtype, name="ffn")(h, deterministic, modal_spans)
+        if self.use_moe:
+            h = MoEFeedForward(cfg, cfg.decoder.ffn_embed_dim, cfg.decoder.embed_dim,
+                               dtype=self.dtype, mesh=self.mesh, name="moe_ffn")(h, deterministic)
+        else:
+            h = FeedForward(cfg, cfg.decoder.ffn_embed_dim, cfg.decoder.embed_dim,
+                            dtype=self.dtype, name="ffn")(h, deterministic, modal_spans)
         h = dropout(h, deterministic=deterministic)
         if cfg.scale_resids:
             w_resid = self.param("w_resid", nn.initializers.ones, (cfg.decoder.embed_dim,), jnp.float32)
@@ -699,7 +757,8 @@ class TransformerEncoder(nn.Module):
             p_drop = cfg.encoder.layerdrop if not deterministic else 0.0
             for i in range(n_layers):
                 layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype,
-                                  mesh=self.mesh, name=f"layers_{i}")
+                                  mesh=self.mesh, use_moe=_is_moe_layer(cfg, i),
+                                  name=f"layers_{i}")
                 bias = bias_spec.layer_bias(i) if bias_spec is not None else None
                 y = layer(x, attn_mask, bias, deterministic, modal_spans)
                 if p_drop > 0.0:
@@ -877,7 +936,9 @@ class TransformerDecoder(nn.Module):
                 cb = cross_bias
                 if cb is not None and cache is not None:
                     cb = jax.lax.dynamic_slice_in_dim(cb, cache_index, Tt, axis=2)
-                layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype, name=f"layers_{i}")
+                layer = layer_cls(cfg, drop_path_rate=float(dpr[i]), dtype=self.dtype,
+                                  mesh=self.mesh, use_moe=_is_moe_layer(cfg, i),
+                                  name=f"layers_{i}")
                 y, layer_cache = layer(
                     x, encoder_out, self_mask, self_bias, cross_mask, cb,
                     deterministic,

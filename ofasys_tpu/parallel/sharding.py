@@ -46,6 +46,10 @@ DEFAULT_RULES: List[Tuple[str, Any]] = [
     (r"rel_pos_table$", P(None, None, "tensor")),
     # per-head scaling
     (r"c_attn$", P("tensor")),
+    # MoE expert weights (E, D, H)/(E, H, D): experts over the 'expert'
+    # axis only — matching moe_ffn_sharded's shard_map in_specs exactly, so
+    # entering the expert region never reshards; router stays replicated
+    (r"moe_ffn/moe_w[12]$", P("expert")),
     # layernorms, w_resid, type embeddings: replicated
     (r".*", P()),
 ]

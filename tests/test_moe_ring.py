@@ -1,6 +1,7 @@
 """Expert-parallel MoE and ring attention vs dense references on the CPU mesh."""
 
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -167,3 +168,96 @@ def test_ring_attention_gradients(use_flash):
     gd = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gr, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------- MoE in the
+# model stack (cfg.moe_experts: every moe_every_n-th layer's FFN is
+# Switch-routed, reference module/base_layer.py BaseLayer role)
+
+def _moe_model(mesh=None):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train_step import copy_batch, tiny_model
+
+    m, d = tiny_model(dropout=0.0)
+    m.cfg.moe_experts = 4
+    m.cfg.moe_every_n = 2          # layer 2 of 2 in each stack is MoE
+    m.cfg.moe_capacity_factor = 4.0
+    # re-initialize with the MoE config active
+    m.initialize(d, active_adaptors=("text",), mesh=mesh)
+    batch = copy_batch(d, np.random.default_rng(0), B=8, T=9)
+    return m, d, batch
+
+
+def test_moe_model_trains_and_decodes():
+    from ofasys_tpu.configure.configs import OptimizationConfig
+    from ofasys_tpu.engine.criterion.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+        LabelSmoothedCrossEntropyCriterionConfig,
+    )
+    from ofasys_tpu.engine.optim import build_optimizer
+    from ofasys_tpu.engine.train_step import TrainState, make_train_step
+    from ofasys_tpu.generator import SequenceGenerator
+
+    m, d, batch = _moe_model()
+    params = m.init_params(jax.random.PRNGKey(0), batch["net_input"]["slots"])
+    names = ["/".join(str(k) for k in p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(params)]
+    assert any("moe_ffn" in n and "moe_w1" in n for n in names), names[:5]
+    assert any("'ffn'" in n or "/ffn/" in n.replace("'", "/") for n in names)  # layer 1 stays dense
+
+    crit = LabelSmoothedCrossEntropyCriterion(
+        LabelSmoothedCrossEntropyCriterionConfig(label_smoothing=0.0), pad_id=d.pad())
+    opt = build_optimizer(OptimizationConfig(lr=(5e-3,)), total_num_update=100)
+    state = TrainState.create(params, opt)
+    step = jax.jit(make_train_step(m, crit, opt))
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]) / float(metrics["sample_size"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    assert "moe_aux" in metrics["logging"] if "logging" in metrics else True
+    # expert weights actually trained
+    flat = {"/".join(str(k) for k in p): v for p, v in
+            jax.tree_util.tree_leaves_with_path(state.params)}
+    init_flat = {"/".join(str(k) for k in p): v for p, v in
+                 jax.tree_util.tree_leaves_with_path(params)}
+    moved = [k for k in flat if "moe_w1" in k and
+             not np.allclose(np.asarray(flat[k]), np.asarray(init_flat[k]))]
+    assert moved, "MoE expert weights did not update"
+
+    gen = SequenceGenerator(m, d, beam_size=2, max_len_b=8)
+    out = gen.generate(state.params, {"net_input": {"slots": batch["net_input"]["slots"]}})
+    assert len(out) == 8 and out[0][0].tokens[-1] == d.eos()
+
+
+def test_moe_model_expert_parallel_step():
+    """Full sharded train step with experts over the mesh 'expert' axis."""
+    from ofasys_tpu.configure.configs import OptimizationConfig
+    from ofasys_tpu.engine.criterion.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+        LabelSmoothedCrossEntropyCriterionConfig,
+    )
+    from ofasys_tpu.engine.optim import build_optimizer
+    from ofasys_tpu.engine.train_step import TrainState, make_train_step
+    from ofasys_tpu.parallel import make_sharded_train_step, put_batch, shard_tree
+
+    mesh = build_mesh(ParallelConfig(data=2, expert=4, fsdp=1, tensor=1))
+    m, d, batch = _moe_model(mesh=mesh)
+    params = m.init_params(jax.random.PRNGKey(0), batch["net_input"]["slots"])
+    crit = LabelSmoothedCrossEntropyCriterion(
+        LabelSmoothedCrossEntropyCriterionConfig(label_smoothing=0.0), pad_id=d.pad())
+    opt = build_optimizer(OptimizationConfig(lr=(5e-3,)), total_num_update=100)
+    state = shard_tree(TrainState.create(params, opt), mesh)
+    # expert weights really sharded over the expert axis
+    w1 = state.params["decoder"]["layers_1"]["moe_ffn"]["moe_w1"]
+    assert "expert" in str(w1.sharding.spec), w1.sharding
+    step = make_sharded_train_step(make_train_step(m, crit, opt), mesh, state, batch)
+    db = put_batch(batch, mesh)
+    l0 = None
+    for i in range(5):
+        state, metrics = step(state, db, jax.random.PRNGKey(i))
+        l = float(metrics["loss"]) / float(metrics["sample_size"])
+        l0 = l0 or l
+    assert np.isfinite(l) and l <= l0 * 1.2
