@@ -93,6 +93,8 @@ def build_model_and_batches():
         model.cfg.quant_training = os.environ["BENCH_QT"]
     if os.environ.get("BENCH_ATTN"):         # A/B: fp32 | compute (score dtype)
         model.cfg.attn_logits = os.environ["BENCH_ATTN"]
+    if os.environ.get("BENCH_FUSE"):         # A/B: 1 | 0 (fused QKV GEMM)
+        model.cfg.fuse_qkv = os.environ["BENCH_FUSE"] == "1"
     model.initialize(
         d, active_adaptors=("text", "image_vit", "audio_fbank"), dtype=jnp.bfloat16
     )

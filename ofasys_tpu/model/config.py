@@ -83,6 +83,15 @@ class GeneralistModelConfig(BaseDataclass):
     #               bench (+9.3%). No-op under fp32 compute.
     #   'fp32'    — full-precision scores end to end.
     attn_logits: str = "compute"
+    # fuse the q/k/v projections into ONE GEMM (self-attention 3-way; cross
+    # attention fuses k/v). Parameter layout is unchanged (three kernels
+    # concatenated at compute time — the concat is loop-invariant, so XLA
+    # hoists it out of decode loops): the input activation is read once
+    # instead of three times, and decode steps issue one projection GEMV
+    # instead of three. Falls back automatically under int8 serving/
+    # quantized training (those paths need per-kernel scales). Measured on
+    # the mixed bench: 1496 vs 1476 samples/s (+1.4%, 45.0% MFU).
+    fuse_qkv: bool = True
     remat: str = "none"                # 'none' | 'full' | 'dots' — per-layer jax.checkpoint
                                        # ('dots' saves matmul results only; elementwise
                                        # chains recompute in the backward)

@@ -32,7 +32,7 @@ import numpy as np
 from ofasys_tpu.model.config import GeneralistModelConfig
 from ofasys_tpu.ops.attention import causal_mask, dot_product_attention
 from ofasys_tpu.ops.pallas_attention import flash_supported
-from ofasys_tpu.ops.quant import QuantDense
+from ofasys_tpu.ops.quant import QuantDense, int8_train_matmul
 
 
 def _flash_available() -> bool:
@@ -182,6 +182,9 @@ class MultiheadAttention(nn.Module):
     # cfg.attn_logits='compute': materialized (B,H,T,T) scores stored in the
     # compute dtype (softmax math stays fp32) — see model/config.py
     logits_compute: bool = False
+    # cfg.fuse_qkv: projections of the same input run as ONE GEMM (the
+    # kernels concatenate at compute time; param layout unchanged)
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(
@@ -205,16 +208,47 @@ class MultiheadAttention(nn.Module):
             self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
             qmode=self.qmode, qtrain=self.qtrain and not deterministic, name=name,
         )
-        q = dense("q_proj")(query)
-        B, Tq = q.shape[:2]
-        q = q.reshape(B, Tq, self.num_heads, head_dim)
+        def _proj(mods, x):
+            """Projections of one input as a single fused GEMM (fuse_qkv):
+            kernels concatenate along the output axis — the concat is
+            loop-invariant so XLA hoists it out of decode while_loops — and
+            the input is read once instead of len(mods) times. Falls back to
+            per-projection calls under int8 serving (per-kernel scales live
+            in 'qkern')."""
+            if len(mods) == 1 or not self.fuse_qkv:
+                return [m(x) for m in mods]
+            pp = [m(x, return_params=True) for m in mods]
+            if any(p is None for p in pp):
+                return [m(x) for m in mods]
+            w = jnp.concatenate([p[0] for p in pp], axis=-1)
+            if self.qtrain and not deterministic:
+                # int8 quantized training: per-out-channel weight scales of
+                # the concatenated kernel equal the per-kernel ones, so the
+                # fused forward is bit-identical to three separate calls
+                y = int8_train_matmul(x.astype(self.dtype), w)
+            else:
+                y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+            if pp[0][1] is not None:
+                y = y + jnp.concatenate([p[1] for p in pp]).astype(self.dtype)
+            return jnp.split(y, len(mods), axis=-1)
 
+        B, Tq = query.shape[:2]
         if cache is not None and static_kv:
             # cross-attention at decode time: k/v computed once, reused
+            (q,) = _proj([dense("q_proj")], query)
+            q = q.reshape(B, Tq, self.num_heads, head_dim)
             k, v = cache["k"], cache["v"]
         else:
-            k = dense("k_proj")(kv_in).reshape(B, kv_in.shape[1], self.num_heads, head_dim)
-            v = dense("v_proj")(kv_in).reshape(B, kv_in.shape[1], self.num_heads, head_dim)
+            if key_value is None:
+                q, k, v = _proj(
+                    [dense("q_proj"), dense("k_proj"), dense("v_proj")], query
+                )
+            else:
+                (q,) = _proj([dense("q_proj")], query)
+                k, v = _proj([dense("k_proj"), dense("v_proj")], kv_in)
+            q = q.reshape(B, Tq, self.num_heads, head_dim)
+            k = k.reshape(B, kv_in.shape[1], self.num_heads, head_dim)
+            v = v.reshape(B, kv_in.shape[1], self.num_heads, head_dim)
             if cache is not None:
                 # incremental self-attention: write the new step(s) at cache index
                 idx = cache["index"]
@@ -489,6 +523,7 @@ class TransformerEncoderLayer(nn.Module):
             qmode=getattr(cfg, "quant_mode", "w8a8"),
             qtrain=getattr(cfg, "quant_training", "none") == "fwd",
             logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
+            fuse_qkv=getattr(cfg, "fuse_qkv", True),
         )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
           deterministic=deterministic)
         if cfg.scale_attn:
@@ -560,6 +595,7 @@ class TransformerDecoderLayer(nn.Module):
             qmode=getattr(cfg, "quant_mode", "w8a8"),
             qtrain=getattr(cfg, "quant_training", "none") == "fwd",
             logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
+            fuse_qkv=getattr(cfg, "fuse_qkv", True),
         )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
@@ -582,6 +618,7 @@ class TransformerDecoderLayer(nn.Module):
                 qmode=getattr(cfg, "quant_mode", "w8a8"),
                 qtrain=getattr(cfg, "quant_training", "none") == "fwd",
                 logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
+            fuse_qkv=getattr(cfg, "fuse_qkv", True),
             )(h, encoder_out, bias=cross_bias, mask=cross_mask,
               use_flash=cfg.use_flash_attention, deterministic=deterministic,
               cache=None if cache is None else cache.get("cross"), static_kv=True)

@@ -165,8 +165,26 @@ class QuantDense(nn.Module):
     qtrain: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_params: bool = False):
         quantized = (not self.is_initializing()) and self.has_variable("qkern", "q")
+        if return_params:
+            # hand the (kernel, bias) params to the caller for a fused
+            # multi-projection GEMM (model/transformer.py fuse_qkv); None
+            # signals the caller to fall back to per-projection calls
+            # (int8 serving keeps per-kernel scales, so no fusion there)
+            if quantized:
+                return None
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (jnp.shape(x)[-1], self.features), self.param_dtype,
+            )
+            bias = None
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros_init(), (self.features,),
+                    self.param_dtype,
+                )
+            return kernel, bias
         if quantized:
             q = self.get_variable("qkern", "q")
             scale = self.get_variable("qkern", "scale")
