@@ -242,6 +242,100 @@ def measure_decode_latency(model, d):
 
 
 # --------------------------------------------------------- torch CPU baseline
+def measure_torch_reference_baseline():
+    """The ACTUAL reference model (/root/reference GeneralistModel, torch,
+    its own adaptors: resnet image encoder + fbank conv subsampler + text),
+    same task mix and batch shapes, reference co-training semantics
+    (per update: each task fwd+bwd, summed grads, one AdamW step) on CPU —
+    the reference's supported CPU mode. Returns samples/sec.
+
+    This is the apples-to-apples denominator (the matched nn.Transformer
+    below is the conservative secondary): base arch resolves to 6+6 layers
+    E=768 with resnet101 (reference model/ofa.py:555-562)."""
+    from ofasys_tpu.utils.reference_compat import import_reference
+
+    import_reference()
+    import torch
+
+    torch.manual_seed(0)
+    from ofasys import ModalityType as RefMod
+    from ofasys.model.ofa import GeneralistModel as RefModel
+    from ofasys.model.ofa import GeneralistModelConfig as RefCfg
+    from ofasys.preprocessor.dictionary import Dictionary as RefDict
+    from ofasys.preprocessor.instruction import Slot as RefSlot
+
+    rcfg = RefCfg()
+    rcfg.arch = ARCH
+    rcfg.share_all_embeddings = True
+    rcfg.no_scale_embedding = True
+    rcfg.layernorm_embedding = True
+    rcfg.dropout = rcfg.attention_dropout = rcfg.activation_dropout = 0.0
+    for a in ("text", "image_resnet", "audio_fbank"):
+        getattr(rcfg.adaptor, a).is_active = True
+
+    rd = RefDict()
+    for i in range(VOCAB_EXTRA):
+        rd.add_symbol(f"<text>_{i}")
+    rd.pad_to_multiple_(8)
+    rm = RefModel(rcfg)
+    rm.initialize(rd)
+    rm.train()
+    V = len(rd)
+    opt = torch.optim.AdamW(rm.parameters(), lr=1e-4)
+
+    g = torch.Generator().manual_seed(0)
+
+    def text_pair(B, Td):
+        tgt = torch.randint(5, min(1000, V), (B, Td), generator=g)
+        prev = tgt.clone()
+        prev[:, 0] = rd.bos()
+        return prev, tgt
+
+    task_batches = []
+    prev, tgt = text_pair(CAPTION["B"], CAPTION["dec_tok"])
+    task_batches.append((
+        [RefSlot(RefMod.IMAGE, True,
+                 torch.rand(CAPTION["B"], 3, CAPTION["img"], CAPTION["img"], generator=g),
+                 column_name="img"),
+         RefSlot(RefMod.TEXT, False, prev, column_name="cap")],
+        tgt,
+    ))
+    prev, tgt = text_pair(INFILL["B"], INFILL["dec_tok"])
+    task_batches.append((
+        [RefSlot(RefMod.TEXT, True,
+                 torch.randint(5, min(1000, V), (INFILL["B"], INFILL["src_tok"]), generator=g),
+                 column_name="src"),
+         RefSlot(RefMod.TEXT, False, prev, column_name="tgt")],
+        tgt,
+    ))
+    prev, tgt = text_pair(ASR["B"], ASR["dec_tok"])
+    task_batches.append((
+        [RefSlot(RefMod.AUDIO, True,
+                 {"fbank": torch.randn(ASR["B"], ASR["frames"], ASR["mels"], generator=g),
+                  "fbank_lengths": torch.full((ASR["B"],), ASR["frames"], dtype=torch.long)},
+                 column_name="wav"),
+         RefSlot(RefMod.TEXT, False, prev, column_name="txt")],
+        tgt,
+    ))
+
+    def one_update():
+        opt.zero_grad()
+        for slots, tgt in task_batches:
+            out = rm(slots)
+            logits = out[0] if isinstance(out, tuple) else out
+            loss = torch.nn.functional.cross_entropy(
+                logits.reshape(-1, V), tgt.reshape(-1)
+            )
+            loss.backward()
+        opt.step()
+
+    one_update()  # warmup
+    t0 = time.perf_counter()
+    one_update()
+    dt = time.perf_counter() - t0
+    return sum(t["B"] for t in TASKS) / dt
+
+
 def measure_torch_cpu_baseline():
     """Architecture-matched torch CPU multi-task update (fp32, the
     reference's CPU mode): per update each task does fwd+bwd on a matched
@@ -306,15 +400,30 @@ def measure_torch_cpu_baseline():
 
 
 def get_baseline():
+    """Returns (matched_nn_transformer_rate, reference_model_rate); both are
+    measured once and cached (minutes of CPU each)."""
+    data = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             data = json.load(f)
-        if data.get("config") == BASELINE_KEY:
-            return data["torch_cpu_samples_per_sec"]
-    val = measure_torch_cpu_baseline()
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump({"config": BASELINE_KEY, "torch_cpu_samples_per_sec": val}, f)
-    return val
+        if data.get("config") != BASELINE_KEY:
+            data = {}
+    changed = False
+    if "torch_cpu_samples_per_sec" not in data:
+        data["torch_cpu_samples_per_sec"] = measure_torch_cpu_baseline()
+        changed = True
+    if "torch_reference_samples_per_sec" not in data:
+        try:
+            data["torch_reference_samples_per_sec"] = measure_torch_reference_baseline()
+        except Exception as e:
+            data["torch_reference_samples_per_sec"] = None
+            data["torch_reference_error"] = repr(e)[:200]
+        changed = True
+    if changed:
+        data["config"] = BASELINE_KEY
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(data, f)
+    return data["torch_cpu_samples_per_sec"], data.get("torch_reference_samples_per_sec")
 
 
 def main():
@@ -336,17 +445,23 @@ def main():
     except Exception:
         p50_ms = rtt_ms = device_ms = None
     try:
-        # BENCH_NO_BASELINE skips the torch-CPU denominator (minutes of CPU
+        # BENCH_NO_BASELINE skips the torch-CPU denominators (minutes of CPU
         # at experiment configs whose key misses the cache)
-        base = None if os.environ.get("BENCH_NO_BASELINE") else get_baseline()
+        base, ref_base = (
+            (None, None) if os.environ.get("BENCH_NO_BASELINE") else get_baseline()
+        )
     except Exception:
-        base = None
+        base = ref_base = None
 
     out = {
         "metric": f"mixed-modality multi-task train (caption+infilling+asr, {ARCH} arch, summed co-training)",
         "value": round(rate, 2),
         "unit": "samples/sec/chip",
+        # conservative denominator: architecture-matched torch nn.Transformer
         "vs_baseline": round(rate / base, 2) if base else None,
+        # apples-to-apples denominator: the ACTUAL reference GeneralistModel
+        # (its own resnet/fbank/text adaptors) on the same task mix, CPU
+        "vs_reference_torch_cpu": round(rate / ref_base, 2) if ref_base else None,
         "tflops": round(tflops, 1),
         "mfu_vs_v5e_peak": round(mfu, 3),
         "sec_per_update": round(sec_per_update, 4),

@@ -75,6 +75,10 @@ def __getattr__(name):
         from ofasys_tpu.hub_interface import OFASys
 
         return OFASys
+    if name == "InferenceServer":
+        from ofasys_tpu.serve import InferenceServer
+
+        return InferenceServer
     raise AttributeError(f"module 'ofasys_tpu' has no attribute {name!r}")
 
 
@@ -87,5 +91,6 @@ __all__ = [
     "Trainer",
     "GeneralistModel",
     "OFASys",
+    "InferenceServer",
     "logger",
 ]

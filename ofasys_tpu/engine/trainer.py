@@ -254,6 +254,8 @@ class Trainer:
     def run_updates(self, start_update: int, end_update: int):
         cfg = self.cfg
         ck = cfg.checkpoint
+        if getattr(self, "_wall_start", None) is None:
+            self._wall_start = time.time()
         if cfg.common.profile:
             jax.profiler.start_trace(cfg.common.profile_dir)
             logger.info("jax.profiler trace -> %s", cfg.common.profile_dir)
@@ -353,25 +355,29 @@ class Trainer:
         if self._sum_mode:
             batches = {}
             ntokens = {}
+            nsent = {}
             for task in self.tasks:
                 b = next(self._iterators[task.name])
                 ntokens[task.name] = int(b.get("ntokens", 0))
+                nsent[task.name] = int(b.get("nsentences", 0))
                 batches[task.name] = put_batch(
                     batch_device_view(b), self.mesh,
                     update_freq=task.cfg.dataset.update_freq,
                 )
             self.state, metrics = self._fused_fn(self.state, batches, self._rng)
             for task in self.tasks:
-                self._log_metrics(task.name, metrics["tasks"][task.name], ntokens[task.name])
+                self._log_metrics(task.name, metrics["tasks"][task.name],
+                                  ntokens[task.name], nsent[task.name])
             self._log_metrics(None, {k: v for k, v in metrics.items() if k != "tasks"}, 0)
         else:
             for task in self.tasks:
                 batch = next(self._iterators[task.name])
                 ntokens = int(batch.get("ntokens", 0))
+                nsent = int(batch.get("nsentences", 0))
                 db = put_batch(batch_device_view(batch), self.mesh,
                                update_freq=task.cfg.dataset.update_freq)
                 self.state, metrics = self._step_fns[task.name](self.state, db, self._rng)
-                self._log_metrics(task.name, metrics, ntokens)
+                self._log_metrics(task.name, metrics, ntokens, nsent)
 
     # -------------------------------------------------------------- pieces
     def _peek_batch(self, task):
@@ -394,11 +400,12 @@ class Trainer:
             for batch in it.next_epoch_itr():
                 yield batch
 
-    def _log_metrics(self, task_name: Optional[str], metrics: Dict[str, Any], ntokens: int):
+    def _log_metrics(self, task_name: Optional[str], metrics: Dict[str, Any], ntokens: int,
+                     nsentences: int = 0):
         """Queue device metric scalars; fetching happens at log boundaries so
         the step dispatch queue is never blocked on a host transfer (the
         reference's float() per step is a GPU-ism; on TPU it stalls pipelining)."""
-        self._pending.append((task_name, metrics, ntokens))
+        self._pending.append((task_name, metrics, ntokens, nsentences))
         if len(self._pending) >= 512:
             self._flush_metrics()
 
@@ -406,8 +413,8 @@ class Trainer:
         if not self._pending:
             return
         pending, self._pending = self._pending, []
-        fetched = jax.device_get([m for _, m, _ in pending])
-        for (task_name, _, ntokens), metrics in zip(pending, fetched):
+        fetched = jax.device_get([m for _, m, _, _ in pending])
+        for (task_name, _, ntokens, nsentences), metrics in zip(pending, fetched):
             ss = float(metrics.get("sample_size", 1.0)) or 1.0
             nt = float(metrics.get("ntokens", 0.0)) or 1.0
             if task_name is not None:
@@ -429,9 +436,35 @@ class Trainer:
                     self.meters.add_meter("lr", AverageMeter(round=6))
                 self.meters["lr"].update(float(metrics["lr"]))
             self.meters["wps"].update(ntokens)
+            if task_name is not None:
+                # reference runtime counters (task/base.py:708-721): words
+                # and sentences per per-task batch
+                if "wpb" not in self.meters:
+                    self.meters.add_meter("wpb", AverageMeter(round=1))
+                    self.meters.add_meter("bsz", AverageMeter(round=1))
+                if ntokens:
+                    self.meters["wpb"].update(ntokens)
+                if nsentences:
+                    self.meters["bsz"].update(nsentences)
 
     def _print_progress(self, update: int, total: int):
         self._flush_metrics()
+        if getattr(self, "_wall_start", None) is not None:
+            # reference 'train_wall' counter: seconds of training so far
+            if "train_wall" not in self.meters:
+                self.meters.add_meter("train_wall", AverageMeter(round=0))
+            self.meters["train_wall"].reset()
+            self.meters["train_wall"].update(time.time() - self._wall_start)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit, used = stats.get("bytes_limit"), stats.get("bytes_in_use")
+            if limit is not None and used is not None:
+                if "gb_free" not in self.meters:
+                    self.meters.add_meter("gb_free", AverageMeter(round=1))
+                self.meters["gb_free"].reset()
+                self.meters["gb_free"].update((limit - used) / 2**30)
+        except Exception:
+            pass  # platform without memory_stats (CPU mesh)
         vals = self.meters.get_smoothed_values()
         if getattr(self, "progress", None) is not None:
             self.progress.log(vals, tag="train", step=update)

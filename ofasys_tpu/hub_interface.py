@@ -45,6 +45,21 @@ class OFASys:
 
     def __init__(self, model: GeneralistModel, params, global_dict: Dictionary,
                  general_preprocess: GeneralPreprocess, tasks: Optional[Dict[str, Task]] = None):
+        net_vocab = getattr(getattr(model, "net", None), "vocab_size", None)
+        if net_vocab is not None and net_vocab != len(global_dict):
+            # Catch the silent-NaN footgun: preprocessors (byte fallback,
+            # task ans2label namespaces) GROW the dictionary, so a model
+            # initialized before the preprocessors were built has a smaller
+            # embedding than the vocab — OOB gathers then fill with NaN
+            # instead of erroring. Build preprocessors/tasks first, call
+            # model.initialize(global_dict) last (or use vocab-remap
+            # surgery, utils/checkpoint_utils.py remap_vocab).
+            raise ValueError(
+                f"model embedding was initialized for a {net_vocab}-token "
+                f"vocabulary but the dictionary now has {len(global_dict)} "
+                "entries — initialize the model AFTER all preprocessors/"
+                "tasks have registered their symbols"
+            )
         self.model = model
         self.params = params
         self.global_dict = global_dict
