@@ -197,8 +197,26 @@ class WordPieceTokenizer(BaseTokenizer):
 def build_tokenizer(name: str, **kwargs) -> BaseTokenizer:
     if name in ("gpt2", "gpt2_bpe"):
         if "encoder_json" in kwargs and kwargs["encoder_json"]:
-            return GPT2BPE(kwargs["encoder_json"], kwargs["vocab_bpe"])
-        return GPT2BPE.from_cache_home()
+            enc, bpe = kwargs["encoder_json"], kwargs["vocab_bpe"]
+        else:
+            home = os.environ.get("OFA_CACHE_HOME", os.path.expanduser("~/.cache/ofasys_tpu"))
+            enc = os.path.join(home, "encoder.json")
+            bpe = os.path.join(home, "vocab.bpe")
+            if not (os.path.exists(enc) and os.path.exists(bpe)):
+                raise FileNotFoundError(
+                    f"GPT-2 BPE assets not found at {home} (need encoder.json + vocab.bpe); "
+                    "set OFA_CACHE_HOME or use bpe='bytes' for a hermetic tokenizer"
+                )
+        if os.environ.get("OFASYS_NATIVE_BPE", "1") != "0":
+            try:
+                from ofasys_tpu.preprocessor.tokenizer import native_bpe
+
+                tok = native_bpe.build(enc, bpe)
+                if tok is not None:
+                    return tok
+            except Exception:  # noqa: BLE001 — native is an optional fast path
+                pass
+        return GPT2BPE(enc, bpe)
     if name == "bytes":
         return ByteTokenizer()
     if name in ("characters", "char"):
