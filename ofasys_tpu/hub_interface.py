@@ -154,6 +154,36 @@ class OFASys:
         self._generators.clear()   # generators close over jitted shapes/cfg
         return self
 
+    # ---------------------------------------------------- sharded serving
+    def shard(self, parallel=None, mesh=None) -> "OFASys":
+        """Shard serving params over a device mesh IN PLACE — tensor/model-
+        parallel inference for models that exceed one chip's HBM (the 6b/8b/
+        10b presets at bf16 don't fit a single v5e). The same regex sharding
+        rules used in training (parallel/sharding.py) place each kernel;
+        GSPMD then partitions every jitted generate/forward over the mesh,
+        inserting the row-parallel psums the reference would have issued by
+        hand (and never shipped — its trainer asserts mp_size == 1,
+        reference engine/trainer.py:143). Decoded tokens are identical to
+        single-device serving (tests/test_sharded_decode.py).
+
+        Default layout is pure tensor parallelism over all visible devices;
+        pass ``parallel=ParallelConfig(...)`` (e.g. data>1 to split serving
+        batches) or a prebuilt ``mesh`` for anything else."""
+        from ofasys_tpu.configure.configs import ParallelConfig
+        from ofasys_tpu.parallel import build_mesh, shard_tree
+
+        if mesh is None:
+            mesh = build_mesh(parallel or ParallelConfig(data=1, tensor=-1))
+        self.params = shard_tree(self.params, mesh)
+        if self._ensemble is not None:
+            models, plist = self._ensemble
+            self._ensemble = (models, [shard_tree(p, mesh) for p in plist])
+        if self._draft is not None:
+            dm, dp, gamma = self._draft
+            self._draft = (dm, shard_tree(dp, mesh), gamma)
+        self._generators.clear()   # generators cache jitted programs
+        return self
+
     # ------------------------------------------------------- speculative
     def set_draft(self, draft: "OFASys", gamma: int = 4) -> "OFASys":
         """Attach a DRAFT model (a smaller OFASys sharing this model's

@@ -50,6 +50,18 @@ DEFAULT_RULES: List[Tuple[str, Any]] = [
     # axis only — matching moe_ffn_sharded's shard_map in_specs exactly, so
     # entering the expert region never reshards; router stays replicated
     (r"moe_ffn/moe_w[12]$", P("expert")),
+    # int8 serving kernels (ops/quant.py quantize_for_serving): the 'qkern'
+    # collection mirrors each fp32 kernel as <name>/q (same (in, out) layout,
+    # so the same Megatron placement applies) + <name>/scale (per-OUT-channel,
+    # so it shards with the kernel's output axis) — sharded int8 serving
+    # then splits the halved weight bytes across chips too
+    (r"(q_proj|k_proj|v_proj|fc1|experts_fc1_\d+|pos_q_linear|pos_k_linear|cross_pos_q_linear|cross_pos_k_linear)/q$", P("fsdp", "tensor")),
+    (r"(q_proj|k_proj|v_proj|fc1|experts_fc1_\d+|pos_q_linear|pos_k_linear|cross_pos_q_linear|cross_pos_k_linear)/scale$", P("tensor")),
+    (r"(out_proj|fc2|experts_fc2_\d+)/q$", P("tensor", "fsdp")),
+    (r"(out_proj|fc2|experts_fc2_\d+)/scale$", P("fsdp")),
+    # int8 tied-logits table is stored pre-transposed (E, V) — see attend()
+    (r"embed_tokens/q$", P("fsdp", "tensor")),
+    (r"embed_tokens/scale$", P("tensor")),
     # layernorms, w_resid, type embeddings: replicated
     (r".*", P()),
 ]
