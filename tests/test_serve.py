@@ -127,3 +127,23 @@ def test_http_endpoint(hub):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_server_over_sharded_hub(hub):
+    """Dynamic batching composes with tensor-parallel sharded serving:
+    a server over hub.shard()'d params answers identically to the
+    single-device hub (shard_tree returns a new tree, so the module
+    fixture's params stay untouched)."""
+    from ofasys_tpu.configure.configs import ParallelConfig
+
+    datas = [{"src": f"word{i % 3} item{i % 2}"} for i in range(6)]
+    direct = [hub.inference(TPL, dd, beam_size=2, max_len_b=6) for dd in datas]
+
+    shub = OFASys(hub.model, hub.params, hub.global_dict, hub.general_preprocess)
+    shub.shard(ParallelConfig(data=1, tensor=8))
+    srv = InferenceServer(shub, max_batch=4, max_wait_ms=200.0)
+    futs = [srv.submit(TPL, dd, beam_size=2, max_len_b=6) for dd in datas]
+    outs = [f.result(timeout=300) for f in futs]
+    srv.close()
+    for o, ref in zip(outs, direct):
+        np.testing.assert_array_equal(np.asarray(o.tokens), np.asarray(ref.tokens))
