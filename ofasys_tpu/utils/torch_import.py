@@ -54,6 +54,21 @@ def flax_to_reference_key(path: str) -> Optional[Tuple[str, str]]:
         # per-adaptor params: text/..., image_resnet/..., ...
         adaptor, sub = rest.split("/", 1)
         ab = f"{base}.{adaptor}"
+        if sub.startswith("embed_images/"):
+            # ResNet trunk (reference module/resnet.py, torchvision naming):
+            # our layer{s}_{i} flat names -> torch layer{s}.{i} Sequential
+            # indices; downsample_conv/downsample_bn -> downsample.0/.1;
+            # FrozenBatchNorm mean/var -> running stats buffers.
+            r = re.sub(r"layer(\d+)_(\d+)", r"layer\1.\2", sub)
+            r = r.replace("downsample_conv", "downsample.0")
+            r = r.replace("downsample_bn", "downsample.1")
+            name, leaf = r.rsplit("/", 1)
+            torch_leaf = {
+                "kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var",
+            }[leaf]
+            return f"{ab}.{name.replace('/', '.')}.{torch_leaf}", \
+                ("linear" if leaf == "kernel" else "direct")
         if sub == "rel_pos_table":
             return f"{ab}.token_rel_pos_table_list", "rel_stack"
         if sub == "image_rel_pos_table":
@@ -109,7 +124,13 @@ def flax_to_reference_key(path: str) -> Optional[Tuple[str, str]]:
 def _to_flax(value: np.ndarray, transform: str, target_shape) -> np.ndarray:
     v = np.asarray(value)
     if transform == "linear":
-        v = v.T
+        # "linear" covers every torch weight that lands on a flax kernel:
+        #   2D Linear (O,I) -> (I,O); 3D Conv1d (O,I,k) -> (k,I,O)
+        #   [full reversal is correct for both]; 4D Conv2d (O,I,kh,kw)
+        #   -> HWIO (kh,kw,I,O). Full reversal would give (kw,kh,I,O) —
+        #   same SHAPE for square kernels but spatially transposed taps,
+        #   so 4D must use the explicit conv permutation.
+        v = v.transpose(2, 3, 1, 0) if v.ndim == 4 else v.T
     elif transform == "conv":
         v = v.transpose(2, 3, 1, 0)
     elif transform == "row":
@@ -211,7 +232,9 @@ def export_reference_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]
         key, transform = mapped
         v = np.asarray(leaf)
         if transform == "linear":
-            out[key] = v.T
+            # inverse of the import rule: 4D HWIO -> torch OIHW needs the
+            # explicit conv permutation (plain reversal spatially transposes)
+            out[key] = v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T
         elif transform == "conv":
             out[key] = v.transpose(3, 2, 0, 1)
         elif transform == "row":
