@@ -247,6 +247,58 @@ def export_reference_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]
     return out
 
 
+def taming_to_flax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a taming-transformers GumbelVQ state_dict (the released
+    vqgan_gumbel_f8_8192 checkpoint the reference tokenizer loads,
+    reference preprocessor/tokenizer/vqgan.py:30-46) onto our
+    model/vqgan.py GumbelVQ param tree.
+
+    Naming: taming's ModuleList indices (down.{i}.block.{j}) become our flat
+    module names (down_{i}_block_{j}); quantize.proj -> quant_proj,
+    quantize.embed -> codebook, post_quant_conv -> post_quant_proj.
+    Layouts: conv OIHW -> HWIO, GroupNorm weight -> scale."""
+    out: Dict[str, Any] = {}
+
+    def put(path: str, leaf: np.ndarray):
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    for key, raw in sd.items():
+        k = key[len("model."):] if key.startswith("model.") else key
+        if k.startswith("loss.") or k.endswith(("temperature", "used")):
+            continue
+        v = np.asarray(raw)
+        if k == "quantize.embed.weight":
+            put("codebook/embedding", v)
+            continue
+        k = (
+            k.replace("quantize.proj", "quant_proj")
+            .replace("post_quant_conv", "post_quant_proj")
+            .replace("mid.block_1", "mid_block_1")
+            .replace("mid.block_2", "mid_block_2")
+            .replace("mid.attn_1", "mid_attn")
+        )
+        k = re.sub(r"(down|up)\.(\d+)\.(block|attn)\.(\d+)", r"\1_\2_\3_\4", k)
+        k = re.sub(r"(down|up)\.(\d+)\.(downsample|upsample)\.conv", r"\1_\2_\3", k)
+        name, leaf = k.rsplit(".", 1)
+        path = name.replace(".", "/")
+        if leaf == "weight":
+            if v.ndim == 4:
+                put(f"{path}/kernel", v.transpose(2, 3, 1, 0))
+            elif v.ndim == 1:  # GroupNorm affine
+                put(f"{path}/scale", v)
+            else:
+                put(f"{path}/kernel", v.T)
+        elif leaf == "bias":
+            put(f"{path}/bias", v)
+        else:
+            logger.warning("taming_to_flax_params: skipping %s", key)
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a torch .pt checkpoint to a numpy state_dict (CPU)."""
     import torch

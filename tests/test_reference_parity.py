@@ -331,3 +331,77 @@ def test_image_resnet_full_forward_parity(ref_image_setup):
         assert (logits.argmax(-1) == ref.argmax(-1)).all()
     finally:
         ConfigStore().get("ofasys.adaptor", "image_resnet").config.resnet_type = prev_rt
+
+
+# --------------------------------------------------------------------------
+# VQGAN (GumbelVQ) parity: codes + reconstruction vs the reference's vendored
+# taming modules. Pins the taming checkpoint converter
+# (utils/torch_import.taming_to_flax_params): asymmetric Downsample padding,
+# quant_conv -> quantize.proj chain, per-level attention at attn_resolutions,
+# codebook entry embedding, post_quant_conv -> decoder
+# (reference module/taming/models/vqgan.py:36-80,174-229,
+# modules/diffusionmodules/model.py:43-71, modules/vqvae/quantize.py:114-226).
+# --------------------------------------------------------------------------
+
+
+def test_vqgan_taming_parity():
+    from ofasys_tpu.utils.reference_compat import import_reference
+
+    import_reference()
+    import torch
+    from ofasys.module.taming.modules.diffusionmodules.model import Decoder, Encoder
+    from ofasys.module.taming.modules.vqvae.quantize import GumbelQuantize
+
+    torch.manual_seed(5)
+    E_DIM, Z_CH, N_EMB = 64, 64, 128
+    dd = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=[16], dropout=0.0, in_channels=3,
+              resolution=32, z_channels=Z_CH, double_z=False)
+    enc, dec = Encoder(**dd), Decoder(**dd)
+    quant_conv = torch.nn.Conv2d(Z_CH, E_DIM, 1)
+    post_quant_conv = torch.nn.Conv2d(E_DIM, Z_CH, 1)
+    quantize = GumbelQuantize(Z_CH, E_DIM, n_embed=N_EMB, kl_weight=1e-8, temp_init=1.0)
+    mods = dict(encoder=enc, decoder=dec, quant_conv=quant_conv,
+                post_quant_conv=post_quant_conv, quantize=quantize)
+    g = torch.Generator().manual_seed(9)
+    for m in mods.values():
+        m.eval()
+        for p in m.parameters():
+            with torch.no_grad():
+                p.uniform_(-0.3, 0.3, generator=g)
+
+    sd = {}
+    for name, mod in mods.items():
+        for k, v in mod.state_dict().items():
+            sd[f"{name}.{k}"] = v.numpy()
+
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        z = quant_conv(enc(torch.from_numpy(img)))
+        logits = quantize.proj(z)
+        codes_t = logits.argmax(1)  # (B, h, w): deterministic part of the
+        # GumbelQuantize forward (the reference tokenizer's eval-time encode
+        # adds gumbel noise before argmax; parity targets the noiseless path)
+        B, h, w = codes_t.shape
+        quant = quantize.get_codebook_entry(codes_t.reshape(-1), (B, h, w, E_DIM))
+        rec_t = dec(post_quant_conv(quant)).numpy()
+    codes_np = codes_t.numpy()
+
+    from ofasys_tpu.model.vqgan import GumbelVQ
+    from ofasys_tpu.utils.torch_import import taming_to_flax_params
+
+    m = GumbelVQ(n_embed=N_EMB, embed_dim=E_DIM, z_channels=Z_CH, ch=32,
+                 ch_mult=(1, 2), num_res_blocks=1, resolution=32,
+                 attn_resolutions=(16,))
+    params = taming_to_flax_params(sd)
+    x = jnp.asarray(img.transpose(0, 2, 3, 1))
+    codes = np.asarray(m.apply({"params": params}, x, method=m.encode_codes))
+    np.testing.assert_array_equal(codes.reshape(B, h, w), codes_np)
+    rec = m.apply(
+        {"params": params}, jnp.asarray(codes_np.reshape(B, -1), jnp.int32),
+        method=m.decode_codes,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec).transpose(0, 3, 1, 2), rec_t, rtol=1e-4, atol=1e-4
+    )
