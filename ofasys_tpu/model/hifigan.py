@@ -64,8 +64,9 @@ class HifiGanGenerator(nn.Module):
                     dtype=self.dtype, name="conv_pre")(mel)
         for i, (rate, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            # SAME padding yields exactly T*rate output frames (torch uses
-            # explicit (k-r)/2 padding; the importer compensates edge cols)
+            # SAME padding with a spatially-flipped kernel is exactly torch's
+            # ConvTranspose1d(k, r, padding=(k-r)//2) for even k-r (measured
+            # 6e-8 max delta); hifigan_to_flax_params does the flip on import
             x = nn.ConvTranspose(ch, (k,), strides=(rate,), padding="SAME",
                                  dtype=self.dtype, name=f"ups_{i}")(lrelu(x))
             acc = None
@@ -73,7 +74,10 @@ class HifiGanGenerator(nn.Module):
                 h = ResBlock1(ch, ks, ds, dtype=self.dtype, name=f"resblocks_{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(cfg.resblock_kernel_sizes)
-        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype, name="conv_post")(lrelu(x))
+        # the reference's final activation is F.leaky_relu's default 0.01
+        # slope, NOT the 0.1 used everywhere else (module/hifigan.py:158)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype,
+                    name="conv_post")(jax.nn.leaky_relu(x, 0.01))
         return jnp.tanh(x)[..., 0]
 
 
@@ -85,7 +89,16 @@ class HifiGanVocoder:
         self.cfg = cfg or HifiGanConfig()
         self.model = HifiGanGenerator(self.cfg)
         dummy = jnp.zeros((1, 8, self.cfg.num_mels), jnp.float32)
-        if weights_path:
+        if weights_path and weights_path.endswith((".pt", ".ckpt", ".pth")):
+            from ofasys_tpu.utils.torch_import import (
+                hifigan_to_flax_params, load_torch_checkpoint,
+            )
+
+            self.params = hifigan_to_flax_params(
+                load_torch_checkpoint(weights_path),
+                num_kernels=len(self.cfg.resblock_kernel_sizes),
+            )
+        elif weights_path:
             import pickle
 
             with np.load(weights_path, allow_pickle=True) as data:

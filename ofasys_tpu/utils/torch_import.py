@@ -299,10 +299,69 @@ def taming_to_flax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def hifigan_to_flax_params(sd: Dict[str, np.ndarray], num_kernels: int = 3) -> Dict[str, Any]:
+    """Map a HiFi-GAN V1 generator state_dict (the released vocoder the
+    reference's TTS postprocess loads, reference module/hifigan.py:115-172)
+    onto our model/hifigan.py HifiGanGenerator param tree.
+
+    Released checkpoints keep weight_norm unparametrized (weight_g/weight_v
+    pairs); fuse them (w = g * v / ||v||, norm over all dims but 0 — torch
+    weight_norm's default dim=0). Conv1d (O,I,k) -> flax (k,I,O).
+    ConvTranspose1d (I,O,k) -> flax (k,I,O) SPATIALLY FLIPPED: flax
+    ConvTranspose correlates where torch's transposed conv convolves
+    (measured exact vs torch with SAME padding for even k-rate).
+    The reference's flat resblocks ModuleList index n splits into our
+    (upsample level i = n // num_kernels, kernel branch j = n % num_kernels)."""
+    fused: Dict[str, np.ndarray] = {}
+    for key, raw in sd.items():
+        v = np.asarray(raw)
+        if key.endswith(".weight_v"):
+            g = np.asarray(sd[key[: -len("_v")] + "_g"])
+            norm = np.sqrt((v.reshape(v.shape[0], -1) ** 2).sum(axis=1))
+            w = v * (g.reshape(-1) / np.maximum(norm, 1e-12)).reshape(
+                (-1,) + (1,) * (v.ndim - 1)
+            )
+            fused[key[: -len(".weight_v")] + ".weight"] = w
+        elif key.endswith(".weight_g"):
+            continue
+        else:
+            fused[key] = v
+
+    out: Dict[str, Any] = {}
+
+    def put(path: str, leaf: np.ndarray):
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    for key, v in fused.items():
+        k = key[len("generator."):] if key.startswith("generator.") else key
+        m = re.match(r"resblocks\.(\d+)\.(convs[12])\.(\d+)\.(weight|bias)", k)
+        if m:
+            n, sub, j, leaf = int(m.group(1)), m.group(2), m.group(3), m.group(4)
+            path = f"resblocks_{n // num_kernels}_{n % num_kernels}/{sub}_{j}"
+        else:
+            m = re.match(r"(conv_pre|conv_post|ups\.(\d+))\.(weight|bias)", k)
+            if not m:
+                logger.warning("hifigan_to_flax_params: skipping %s", key)
+                continue
+            leaf = m.group(3)
+            path = f"ups_{m.group(2)}" if m.group(2) is not None else m.group(1)
+        if leaf == "bias":
+            put(f"{path}/bias", v)
+        elif path.startswith("ups_"):
+            put(f"{path}/kernel", v.transpose(2, 0, 1)[::-1].copy())
+        else:
+            put(f"{path}/kernel", v.transpose(2, 1, 0))
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a torch .pt checkpoint to a numpy state_dict (CPU)."""
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=False)
-    sd = state.get("model", state.get("state_dict", state))
+    sd = state.get("model", state.get("state_dict", state.get("generator", state)))
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}

@@ -405,3 +405,51 @@ def test_vqgan_taming_parity():
     np.testing.assert_allclose(
         np.asarray(rec).transpose(0, 3, 1, 2), rec_t, rtol=1e-4, atol=1e-4
     )
+
+
+def test_hifigan_parity():
+    """Waveform parity vs the reference's torch HiFi-GAN generator with
+    weight-norm checkpoints (reference module/hifigan.py:115-172). Pins the
+    weight_g/weight_v fusion, the ConvTranspose spatial flip, the flat
+    resblocks index split, and the final 0.01-slope leaky_relu."""
+    from ofasys_tpu.utils.reference_compat import import_reference
+
+    import_reference()
+    import torch
+    from ofasys.module.hifigan import Generator as RefGenerator
+
+    from ofasys_tpu.model.hifigan import HifiGanConfig, HifiGanVocoder
+    from ofasys_tpu.utils.torch_import import hifigan_to_flax_params
+
+    torch.manual_seed(3)
+    cfg_t = {
+        "upsample_rates": [4, 2],
+        "upsample_kernel_sizes": [8, 4],
+        "upsample_initial_channel": 32,
+        "resblock_kernel_sizes": [3, 5],
+        "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5]],
+    }
+    # reference hardcodes 80 input mels (module/hifigan.py:118)
+    rg = RefGenerator(cfg_t)
+    rg.eval()
+    g = torch.Generator().manual_seed(13)
+    for p in rg.parameters():
+        with torch.no_grad():
+            p.uniform_(-0.2, 0.2, generator=g)
+    sd = {k: v.numpy() for k, v in rg.state_dict().items()}
+
+    rng = np.random.default_rng(17)
+    mel = rng.standard_normal((2, 80, 8)).astype(np.float32)
+    with torch.no_grad():
+        wav_t = rg(torch.from_numpy(mel)).numpy()[:, 0]  # (B, T*8)
+
+    cfg = HifiGanConfig(
+        num_mels=80, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+    )
+    voc = HifiGanVocoder(cfg)
+    voc.params = hifigan_to_flax_params(sd, num_kernels=2)
+    wav = voc(mel.transpose(0, 2, 1))  # ours takes (B, T, num_mels)
+    assert wav.shape == wav_t.shape
+    np.testing.assert_allclose(wav, wav_t, rtol=1e-5, atol=1e-5)
