@@ -418,15 +418,18 @@ class Trainer:
             ss = float(metrics.get("sample_size", 1.0)) or 1.0
             nt = float(metrics.get("ntokens", 0.0)) or 1.0
             if task_name is not None:
-                for key, meter_key in (
-                    ("loss", f"{task_name}:loss"),
-                    ("nll_loss", f"{task_name}:nll_loss"),
-                ):
-                    if key in metrics:
-                        denom = ss if key == "loss" else nt
-                        if meter_key not in self.meters:
-                            self.meters.add_meter(meter_key, AverageMeter(round=3))
-                        self.meters[meter_key].update(float(metrics[key]) / denom)
+                # thread every *loss logging output into a per-task meter
+                # (criteria may log components like ce_loss/ctc_loss/mam_loss
+                # beyond the standard pair); nll_loss is per-token, the rest
+                # per-sample — matching the reference's reduce_metrics
+                for key in metrics:
+                    if not key.endswith("loss"):
+                        continue
+                    meter_key = f"{task_name}:{key}"
+                    denom = nt if key == "nll_loss" else ss
+                    if meter_key not in self.meters:
+                        self.meters.add_meter(meter_key, AverageMeter(round=3))
+                    self.meters[meter_key].update(float(metrics[key]) / denom)
             if "gnorm" in metrics:
                 if "gnorm" not in self.meters:
                     self.meters.add_meter("gnorm", AverageMeter(round=3))

@@ -29,12 +29,33 @@ class AutoRegressiveSpeechGenerator:
         n_frames_per_step: int = 1,
         max_iter: int = 512,
         eos_prob_threshold: float = 0.5,
+        gcmvn_stats: Optional[Any] = None,
     ):
         self.model = model
+        self.num_mels = num_mels
         self.out_dim = num_mels * n_frames_per_step
         self.max_iter = max_iter
         self.eos_prob_threshold = eos_prob_threshold
+        # corpus-level CMVN denorm (reference speech_generator.py:73-79,175):
+        # (mean, std) arrays of shape (num_mels,), or a path to an .npz
+        self.gcmvn_mean = self.gcmvn_std = None
+        if gcmvn_stats is not None:
+            if isinstance(gcmvn_stats, str):
+                stats = np.load(gcmvn_stats)
+                gcmvn_stats = (stats["mean"], stats["std"])
+            self.gcmvn_mean = np.asarray(gcmvn_stats[0], np.float32)
+            self.gcmvn_std = np.asarray(gcmvn_stats[1], np.float32)
         self._compiled: Dict[Any, Any] = {}
+
+    def gcmvn_denormalize(self, frames: np.ndarray) -> np.ndarray:
+        """x * std + mean over the mel axis; frames may be packed
+        (T, num_mels * n_frames_per_step)."""
+        if self.gcmvn_mean is None:
+            return frames
+        shape = frames.shape
+        x = frames.reshape(-1, self.num_mels)
+        x = x * self.gcmvn_std[None, :] + self.gcmvn_mean[None, :]
+        return x.reshape(shape)
 
     def generate(self, params, sample: Dict[str, Any], seed: int = 0) -> List[SpeechGeneratorOutput]:
         slots = sample["net_input"]["slots"]
@@ -53,7 +74,7 @@ class AutoRegressiveSpeechGenerator:
         for b in range(B):
             L = int(lengths[b])
             outs.append(SpeechGeneratorOutput(
-                feature=frames[b, :L],
+                feature=self.gcmvn_denormalize(frames[b, :L]),
                 eos_prob=np.asarray(eos_probs)[b, :L],
             ))
         return outs

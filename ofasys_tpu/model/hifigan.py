@@ -63,6 +63,12 @@ class HifiGanGenerator(nn.Module):
         x = nn.Conv(cfg.upsample_initial_channel, (7,), padding=[(3, 3)],
                     dtype=self.dtype, name="conv_pre")(mel)
         for i, (rate, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            # the SAME-padding equivalence below requires even k - rate;
+            # odd configs would silently misalign vs torch, so fail loudly
+            assert (k - rate) % 2 == 0, (
+                f"upsample stage {i}: kernel {k} - rate {rate} must be even "
+                f"for ConvTranspose SAME-padding parity with torch"
+            )
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             # SAME padding with a spatially-flipped kernel is exactly torch's
             # ConvTranspose1d(k, r, padding=(k-r)//2) for even k-r (measured
@@ -91,13 +97,14 @@ class HifiGanVocoder:
         dummy = jnp.zeros((1, 8, self.cfg.num_mels), jnp.float32)
         if weights_path and weights_path.endswith((".pt", ".ckpt", ".pth")):
             from ofasys_tpu.utils.torch_import import (
-                hifigan_to_flax_params, load_torch_checkpoint,
+                check_converted_params, hifigan_to_flax_params, load_torch_checkpoint,
             )
 
             self.params = hifigan_to_flax_params(
                 load_torch_checkpoint(weights_path),
                 num_kernels=len(self.cfg.resblock_kernel_sizes),
             )
+            check_converted_params(self.params, self.model, dummy, "hifigan_to_flax_params")
         elif weights_path:
             import pickle
 

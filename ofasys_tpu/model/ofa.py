@@ -127,8 +127,15 @@ class GeneralistNet(nn.Module):
         src_slots = SlotBatch.source_slots(slots)
         tgt_slots = [s for s in slots if not s.is_src]
         enc = self.encode(src_slots, deterministic=deterministic) if src_slots else None
-        return self.decode_full(tgt_slots, enc, deterministic=deterministic,
-                                full_context=full_context, all_slots=slots)
+        out, extra = self.decode_full(tgt_slots, enc, deterministic=deterministic,
+                                      full_context=full_context, all_slots=slots)
+        if enc is not None:
+            # criteria with encoder-side losses (CTC over phone targets,
+            # reference speech_to_text_loss.py:217-225 return_encoder_out)
+            # read the encoder states from extra; XLA dead-code-eliminates
+            # this for criteria that ignore it
+            extra["encoder_out"] = enc
+        return out, extra
 
     def decode_full(
         self,

@@ -153,7 +153,14 @@ class GumbelVQ(nn.Module):
         self.post_quant_proj = nn.Conv(self.z_channels, (1, 1), dtype=self.dtype)
 
     def encode_codes(self, images: jax.Array) -> jax.Array:
-        """(B, H, W, 3) in [-1, 1] -> (B, h*w) int32 codes (hard argmax)."""
+        """(B, H, W, 3) in [-1, 1] -> (B, h*w) int32 codes (hard argmax).
+
+        Known deviation: the reference's GumbelQuantize applies
+        F.gumbel_softmax (i.e. adds gumbel NOISE) even in eval mode before
+        its argmax (taming modules/vqvae/quantize.py:160), so token-level
+        parity with the real reference tokenizer is inherently approximate —
+        only this noiseless path is pinned by tests. Do not chase residual
+        token diffs against a real taming checkpoint as a converter bug."""
         z = self.quant_conv(self.encoder(images))
         logits = self.quant_proj(z)
         codes = jnp.argmax(logits, axis=-1)
@@ -188,10 +195,11 @@ class VQGANTokenizer:
         dummy = jnp.zeros((1, code_image_size, code_image_size, 3), jnp.float32)
         if weights_path and weights_path.endswith((".pt", ".ckpt", ".pth")):
             from ofasys_tpu.utils.torch_import import (
-                load_torch_checkpoint, taming_to_flax_params,
+                check_converted_params, load_torch_checkpoint, taming_to_flax_params,
             )
 
             self.params = taming_to_flax_params(load_torch_checkpoint(weights_path))
+            check_converted_params(self.params, self.model, dummy, "taming_to_flax_params")
         elif weights_path:
             import pickle
 

@@ -38,7 +38,11 @@ class AudioPreprocessConfig(PreprocessConfig):
     frame_length_ms: float = 25.0
     frame_shift_ms: float = 10.0
     specaugment: bool = True
-    cmvn: str = "utterance"       # 'utterance' | 'none'
+    cmvn: str = "utterance"       # 'utterance' | 'global' | 'none'
+    # corpus-level CMVN stats: .npz with 'mean' and 'std' arrays of shape
+    # (num_mels,) (reference default/audio.py:485-567 global_cmvn +
+    # utils/audio_feature_transforms/global_cmvn.py)
+    gcmvn_stats_path: Optional[str] = None
     max_frames: int = 1024
     n_frames_per_step: int = 1    # TTS frame packing
     seed: int = 1
@@ -50,6 +54,21 @@ class AudioPreprocess(BasePreprocess):
     def __init__(self, global_dict, cfg: AudioPreprocessConfig):
         super().__init__(global_dict, cfg)
         self.rng = np.random.default_rng(cfg.seed)
+        self.gcmvn_mean: Optional[np.ndarray] = None
+        self.gcmvn_std: Optional[np.ndarray] = None
+        if cfg.cmvn == "global":
+            if not cfg.gcmvn_stats_path:
+                raise ValueError("cmvn='global' requires gcmvn_stats_path (.npz with mean/std)")
+            stats = np.load(cfg.gcmvn_stats_path)
+            self.gcmvn_mean = np.asarray(stats["mean"], np.float32)
+            self.gcmvn_std = np.asarray(stats["std"], np.float32)
+
+    def gcmvn_stats(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(mean, std) of the corpus-level CMVN, for GCMVN denorm at
+        generation time (reference generator/speech_generator.py:73-79)."""
+        if self.gcmvn_mean is None:
+            return None
+        return self.gcmvn_mean, self.gcmvn_std
 
     def extract(self, value: Any) -> np.ndarray:
         if isinstance(value, np.ndarray) and value.ndim == 2:
@@ -61,6 +80,8 @@ class AudioPreprocess(BasePreprocess):
             )
         if self.cfg.cmvn == "utterance":
             feats = apply_cmvn(feats)
+        elif self.cfg.cmvn == "global":
+            feats = (feats - self.gcmvn_mean) / self.gcmvn_std
         return feats[: self.cfg.max_frames]
 
     def map(self, slot: Slot) -> Slot:
@@ -116,3 +137,51 @@ class AudioPreprocess(BasePreprocess):
             if getattr(out, "feature", None) is not None:
                 out.waveform = self.decode(np.asarray(out.feature))
         return outputs
+
+
+@dataclass
+class AudioEmbedPreprocessConfig(PreprocessConfig):
+    audio_feature_dim: int = 439
+    audio_feature_length: int = 384
+
+
+@register_config("ofasys.preprocess", "audio_embed", AudioEmbedPreprocessConfig)
+class AudioEmbedPreprocess(BasePreprocess):
+    """Precomputed dense audio feature embeddings (reference
+    default/audio.py:61-85 DefaultAudioEmbedPreprocess): the slot carries
+    either a (T, dim) float array or {'data': base64 of big-endian float32,
+    'start_index': i}; a fixed-length (audio_feature_length, dim) window is
+    cut and zero-padded, then batches stack to (B, L, dim)."""
+
+    def _unpack(self, value: Any) -> Tuple[np.ndarray, int]:
+        if isinstance(value, dict):
+            import base64
+
+            raw = value["data"]
+            buf = base64.b64decode(raw) if isinstance(raw, (str, bytes)) else raw
+            dim = self.cfg.audio_feature_dim
+            m_len = len(buf) // dim // 4
+            feats = np.frombuffer(buf, dtype=">f4", count=m_len * dim).reshape(m_len, dim)
+            return feats.astype(np.float32), int(value.get("start_index", 0))
+        feats = np.asarray(value, np.float32)
+        if feats.ndim != 2:
+            raise PreprocessSkipException(
+                f"audio_embed expects (T, dim) features, got shape {feats.shape}")
+        return feats, 0
+
+    def map(self, slot: Slot) -> Slot:
+        if isinstance(slot.value, dict) and "inputs" in slot.value:
+            return slot
+        feats, start = self._unpack(slot.value)
+        L = self.cfg.audio_feature_length
+        feats = feats[start: start + L]
+        if feats.shape[0] < L:
+            feats = np.concatenate(
+                [feats, np.zeros((L - feats.shape[0], feats.shape[1]), np.float32)])
+        slot.value = {"inputs": feats}
+        return slot
+
+    def collate(self, slots: List[Slot]) -> CollateOutput:
+        batch = np.stack([s.value["inputs"] for s in slots])   # (B, L, dim)
+        lengths = np.full((batch.shape[0],), batch.shape[1], np.int32)
+        return CollateOutput(self.to_slot_batch(slots[0], {"inputs": batch, "lengths": lengths}))

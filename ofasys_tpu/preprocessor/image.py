@@ -133,3 +133,15 @@ class ImagenetPreprocessConfig(ImagePreprocessConfig):
 @register_config("ofasys.preprocess", "imagenet", ImagenetPreprocessConfig)
 class ImagenetPreprocess(ImagePreprocess):
     """ImageNet-normalized variant (reference registers 'imagenet')."""
+
+
+@dataclass
+class ImagepretrainPreprocessConfig(ImagePreprocessConfig):
+    pass
+
+
+@register_config("ofasys.preprocess", "imagepretrain", ImagepretrainPreprocessConfig)
+class ImagepretrainPreprocess(ImagePreprocess):
+    """Third registration of the image preprocessor (reference
+    default/image.py:190 registers 'imagepretrain' with the same class,
+    CLIP-style mean/std defaults)."""

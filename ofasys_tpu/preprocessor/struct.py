@@ -18,6 +18,7 @@ from ofasys_tpu.configure import register_config
 from ofasys_tpu.preprocessor.base import PreprocessSkipException
 from ofasys_tpu.preprocessor.instruction import Slot
 from ofasys_tpu.preprocessor.text import TextPreprocess, TextPreprocessConfig
+from ofasys_tpu.preprocessor.utils import collate_tokens
 
 
 @dataclass
@@ -115,7 +116,15 @@ class PhonePreprocess(TextPreprocess):
     """Phoneme tokens in a dedicated <phone>_ namespace
     (reference default/phone.py:32-206). Input may be a pre-phonemized
     space-separated phone string; g2p_en conversion is applied when
-    installed and enabled."""
+    installed and enabled.
+
+    Namespace layout mirrors the reference's
+    ``<phone>_dict_begin | phones... | <phone>_unk`` block
+    (default/phone.py:41-55): row 0 doubles as the CTC blank class
+    (reference speech_to_text_loss.py:142 uses blank_idx=0 over the
+    ``[dict_begin, dict_end)`` embedding slice), the last row is the
+    unknown-phone bucket.
+    """
 
     def __init__(self, global_dict, cfg: PhonePreprocessConfig):
         super().__init__(global_dict, cfg)
@@ -127,9 +136,13 @@ class PhonePreprocess(TextPreprocess):
             # CMUdict ARPABET inventory as a hermetic default
             phones = ("AA AE AH AO AW AY B CH D DH EH ER EY F G HH IH IY JH K L M N NG "
                       "OW OY P R S SH T TH UH UW V W Y Z ZH sil sp").split()
-        start, _ = global_dict.add_namespace("<phone>", len(phones), fmt="{prefix}_{i}")
+        start, end = global_dict.add_namespace(
+            "<phone>", len(phones) + 2, fmt="{prefix}_{i}"
+        )
+        self.phone_blank = start          # CTC blank (== reference dict_begin row)
+        self.phone_unk = end - 1          # unknown-phone bucket
         for i, p in enumerate(phones):
-            self.phone2id[p] = start + i
+            self.phone2id[p] = start + 1 + i
         self.id2phone = {v: k for k, v in self.phone2id.items()}
 
     def phonemize(self, text: str) -> List[str]:
@@ -143,7 +156,7 @@ class PhonePreprocess(TextPreprocess):
         return text.strip().split()
 
     def encode_phones(self, text: str) -> np.ndarray:
-        ids = [self.phone2id[p] for p in self.phonemize(text) if p in self.phone2id]
+        ids = [self.phone2id.get(p, self.phone_unk) for p in self.phonemize(text)]
         return np.asarray(ids, np.int32)
 
     def map(self, slot: Slot) -> Slot:
@@ -156,3 +169,105 @@ class PhonePreprocess(TextPreprocess):
     def decode(self, tokens: np.ndarray, **kwargs) -> str:
         toks = np.asarray(tokens).reshape(-1)
         return " ".join(self.id2phone[int(t)] for t in toks if int(t) in self.id2phone)
+
+
+# --------------------------------------------------------------- text_phone
+_LETTER_PHONES = {
+    "a": ("AH",), "b": ("B",), "c": ("K",), "d": ("D",), "e": ("EH",),
+    "f": ("F",), "g": ("G",), "h": ("HH",), "i": ("IH",), "j": ("JH",),
+    "k": ("K",), "l": ("L",), "m": ("M",), "n": ("N",), "o": ("AO",),
+    "p": ("P",), "q": ("K",), "r": ("R",), "s": ("S",), "t": ("T",),
+    "u": ("AH",), "v": ("V",), "w": ("W",), "x": ("K", "S"), "y": ("Y",),
+    "z": ("Z",),
+}
+
+
+def hermetic_g2p(text: str) -> List[str]:
+    """Deterministic letter->ARPABET fallback used when g2p_en is not
+    installed (zero-egress environments): each letter maps to its closest
+    single phoneme. NOT linguistically accurate — it exists so the
+    text->phone pipeline (and its CTC targets) stay exercisable hermetically;
+    with g2p_en present the real lexicon+model pronunciation is used instead
+    (reference default/phone.py:173-193 phonemize())."""
+    out: List[str] = []
+    for word in text.lower().split():
+        for ch in word:
+            out.extend(_LETTER_PHONES.get(ch, ()))
+    return out
+
+
+@dataclass
+class TextPhonePreprocessConfig(PhonePreprocessConfig):
+    use_t2p: bool = True
+
+
+@register_config("ofasys.preprocess", "text_phone", TextPhonePreprocessConfig)
+class TextPhonePreprocess(PhonePreprocess):
+    """Text targets with auxiliary phoneme encoder-targets (reference
+    default/text.py:404-509 TextForPhonePreprocess, registered as
+    'text_phone'): the decoder target is ordinary BPE text, and when
+    ``use_t2p`` the raw string is additionally phonemized (g2p) into
+    ``<phone>_`` namespace ids which collate into ``sample['encoder_target']``
+    — consumed by the speech_to_text criterion's CTC branch against encoder
+    states (reference speech_to_text_loss.py:217-225). Used by ASR templates:
+    ``[AUDIO:wav] ... -> [TEXT:text,preprocess=text_phone]``.
+    """
+
+    def text_to_phones(self, text: str) -> List[str]:
+        try:
+            from g2p_en import G2p
+
+            # strip stress digits so g2p output maps onto the hermetic
+            # inventory when no phone_dict_file carries stressed variants
+            phones = [p.rstrip("012") for p in G2p()(text) if p.strip() and p != " "]
+            return [p for p in phones if p.strip()]
+        except ImportError:
+            return hermetic_g2p(text)
+
+    def map(self, slot: Slot) -> Slot:
+        if not slot.is_src and slot.value is None:
+            slot = self.dummy_slot(slot)
+            slot.value["phone_tokens"] = np.asarray([], np.int32)
+            return slot
+        text = slot.value if isinstance(slot.value, str) else None
+        slot = TextPreprocess.map(self, slot)
+        if not slot.is_src and self.cfg.use_t2p and text is not None:
+            ids = [self.phone2id.get(p, self.phone_unk) for p in self.text_to_phones(text)]
+            # eos-terminated, no bos (reference text.py:466-468)
+            slot.value["phone_tokens"] = np.asarray(
+                ids + [self.global_dict.eos()], np.int32
+            )
+        return slot
+
+    def group_map(self, slots: List[Slot]) -> List[Slot]:
+        # the generic text group merge only threads the five standard keys;
+        # carry the phone aux targets across it (target groups for ASR are
+        # single-slot, so concatenation order is trivial)
+        phone_runs = [
+            s.value.get("phone_tokens") for s in slots
+            if isinstance(s.value, dict) and s.value.get("phone_tokens") is not None
+        ]
+        out = TextPreprocess.group_map(self, slots)
+        if phone_runs and not slots[0].is_src:
+            out[0].value["phone_tokens"] = np.concatenate(phone_runs).astype(np.int32)
+        return out
+
+    def collate(self, slots: List[Slot]) -> CollateOutput:
+        out = TextPreprocess.collate(self, slots)
+        if (
+            not slots[0].is_src
+            and self.cfg.use_t2p
+            and all(isinstance(s.value, dict) and "phone_tokens" in s.value for s in slots)
+        ):
+            out.sample_extra["encoder_target"] = collate_tokens(
+                [s.value["phone_tokens"] for s in slots],
+                pad_idx=self.global_dict.pad(),
+                pad_to_multiple=self.cfg.pad_to_multiple,
+            )
+            # dict_start/dict_end/blank for the CTC projection are resolved
+            # statically by the criterion from global_dict namespace ranges
+            # (they must be Python ints at trace time, not traced scalars)
+        return out
+
+    def decode(self, tokens: np.ndarray, **kwargs) -> str:
+        return TextPreprocess.decode(self, tokens, **kwargs)

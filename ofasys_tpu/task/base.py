@@ -271,8 +271,39 @@ class Task:
         return it
 
     # ----------------------------------------------------------- inference
+    def _target_modality(self):
+        """Modality of the last target slot of the first template (the
+        reference dispatches its generator family the same way,
+        task/base.py build_generator → speech/diffusion/sequence)."""
+        for t in self.templates:
+            tgt = [s for s in Instruction(t).slots if not s.is_src]
+            if tgt:
+                return tgt[-1].modality, tgt[-1]
+        return None, None
+
+    def build_speech_generator(self, model, **overrides):
+        """AR speech synthesis over continuous fbank targets, with
+        corpus-level CMVN denorm wired from the audio preprocessor
+        (reference generator/speech_generator.py:73-79)."""
+        from ofasys_tpu.generator import AutoRegressiveSpeechGenerator
+
+        if "gcmvn_stats" not in overrides and self.general_preprocess is not None:
+            pre = self.general_preprocess.name2pre.get("audio")
+            stats = pre.gcmvn_stats() if hasattr(pre, "gcmvn_stats") else None
+            if stats is not None:
+                overrides["gcmvn_stats"] = stats
+        self._generator = AutoRegressiveSpeechGenerator(model, **overrides)
+        return self._generator
+
     def build_generator(self, model, **overrides):
         from ofasys_tpu.generator import SequenceGenerator
+
+        # modality dispatch: continuous AUDIO targets decode through the AR
+        # speech generator, not the token beam loop (token-coded targets —
+        # image_vqgan codes, text, phones — stay on SequenceGenerator)
+        modality, tgt_slot = self._target_modality()
+        if modality == ModalityType.AUDIO and tgt_slot.get_attr("preprocess") != "image_vqgan":
+            return self.build_speech_generator(model, **overrides)
 
         g = self.cfg.generation
         kwargs = dict(

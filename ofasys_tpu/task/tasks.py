@@ -206,10 +206,9 @@ class TextToSpeechTask(Task):
             self.cfg.name = "text_to_speech"
 
     def build_generator(self, model, **overrides):
-        from ofasys_tpu.generator import AutoRegressiveSpeechGenerator
-
-        self._generator = AutoRegressiveSpeechGenerator(model, **overrides)
-        return self._generator
+        # the base dispatches AUDIO targets here too; kept explicit so the
+        # TTS task builds a speech generator even with a custom template
+        return self.build_speech_generator(model, **overrides)
 
     def inference(self, model, params, sample, **gen_overrides):
         if self._generator is None:

@@ -365,3 +365,44 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     state = torch.load(path, map_location="cpu", weights_only=False)
     sd = state.get("model", state.get("state_dict", state.get("generator", state)))
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def check_converted_params(converted: Dict[str, Any], model, dummy, name: str,
+                           method=None) -> None:
+    """Validate a converted checkpoint tree against the param structure the
+    flax model actually expects (shape-only, via ``jax.eval_shape`` of
+    ``model.init`` — no FLOPs). Raises on missing or shape-mismatched
+    leaves, warns on unconsumed ones, so a wrong/truncated checkpoint fails
+    at load time with names instead of surfacing later as an opaque
+    ScopeParamNotFound at apply time."""
+    import jax
+
+    kwargs = {"method": method} if method is not None else {}
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), dummy, **kwargs)["params"]
+    )
+    exp_flat = {
+        _path_str(p): v.shape
+        for p, v in jax.tree_util.tree_flatten_with_path(expected)[0]
+    }
+    got_flat = {
+        _path_str(p): np.asarray(v).shape
+        for p, v in jax.tree_util.tree_flatten_with_path(converted)[0]
+    }
+    missing = sorted(set(exp_flat) - set(got_flat))
+    unconsumed = sorted(set(got_flat) - set(exp_flat))
+    mismatched = sorted(
+        f"{k}: ckpt {got_flat[k]} vs model {exp_flat[k]}"
+        for k in set(exp_flat) & set(got_flat)
+        if tuple(got_flat[k]) != tuple(exp_flat[k])
+    )
+    if missing or mismatched:
+        raise ValueError(
+            f"{name}: converted checkpoint does not match the model — "
+            f"missing leaves: {missing[:10]}{'...' if len(missing) > 10 else ''}; "
+            f"shape mismatches: {mismatched[:10]}{'...' if len(mismatched) > 10 else ''}"
+        )
+    if unconsumed:
+        logger.warning("%s: %d unconsumed checkpoint leaves: %s%s", name,
+                       len(unconsumed), unconsumed[:10],
+                       "..." if len(unconsumed) > 10 else "")
