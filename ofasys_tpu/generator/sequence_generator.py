@@ -129,7 +129,9 @@ class SequenceGenerator:
         self.constraint_representation = constraint_representation
         self.constraint_start = self.constraint_end = None
         if constraint_range:
-            lo, hi = constraint_range.split(",")
+            # both "lo,hi" and the reference's "(lo,hi)" spelling
+            # (reference task/image_gen.py:29-31)
+            lo, hi = constraint_range.strip("() ").split(",")
             self.constraint_start, self.constraint_end = int(lo), int(hi)
         # closed-set constraint trie -> compiled device tables (reference
         # masks logits with the trie per step, sequence_generator.py:684-752)
@@ -196,7 +198,11 @@ class SequenceGenerator:
             )
         seqs, scores = self._compiled[key](params, src_slots, tgt_slot, jnp.asarray(prefix_tokens),
                                            jax.random.PRNGKey(seed), cons)
-        return self._finalize(np.asarray(seqs), np.asarray(scores))
+        # ONE device_get for both outputs: sequential np.asarray() readbacks
+        # each pay a full tunnel round-trip (~30ms on axon), doubling decode
+        # wall time for no reason
+        seqs, scores = jax.device_get((seqs, scores))
+        return self._finalize(seqs, scores)
 
     def _finalize(self, seqs: np.ndarray, scores: np.ndarray) -> List[List[SequenceGeneratorOutput]]:
         out: List[List[SequenceGeneratorOutput]] = []

@@ -117,7 +117,7 @@ class SpeculativeGenerator:
                 functools.partial(self._generate, max_len=max_len)
             )
         seqs, scores = self._compiled[key](params, draft_params, src_slots, tgt_slot)
-        seqs, scores = np.asarray(seqs), np.asarray(scores)
+        seqs, scores = jax.device_get((seqs, scores))  # one readback round-trip
 
         out: List[List[SequenceGeneratorOutput]] = []
         for b in range(B):

@@ -68,14 +68,15 @@ class AutoRegressiveSpeechGenerator:
         frames, eos_probs, lengths = self._compiled[key](
             params, src_slots, tgt_slot, jax.random.PRNGKey(seed)
         )
-        frames = np.asarray(frames)
-        lengths = np.asarray(lengths)
+        # ONE device_get: sequential np.asarray readbacks each pay a full
+        # tunnel round-trip
+        frames, eos_probs, lengths = jax.device_get((frames, eos_probs, lengths))
         outs = []
         for b in range(B):
             L = int(lengths[b])
             outs.append(SpeechGeneratorOutput(
                 feature=self.gcmvn_denormalize(frames[b, :L]),
-                eos_prob=np.asarray(eos_probs)[b, :L],
+                eos_prob=eos_probs[b, :L],
             ))
         return outs
 

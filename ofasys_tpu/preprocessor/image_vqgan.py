@@ -29,6 +29,11 @@ class ImageVqganPreprocessConfig(TextPreprocessConfig):
     num_codes: int = 8192
     vqgan_weights: Optional[str] = None
     constraint_decoding: bool = True
+    # best-of-N rerank scorer: 'clip' (CLIP weights from clip_model /
+    # $OFA_CLIP_PATH, reference image_code.py:30-33,202-214), 'none', or
+    # 'auto' (clip when weights resolve, else no rerank)
+    rerank: str = "auto"
+    clip_model: Optional[str] = None
 
 
 @register_config("ofasys.preprocess", "image_vqgan", ImageVqganPreprocessConfig)
@@ -37,6 +42,11 @@ class ImageVqganPreprocess(TextPreprocess):
         super().__init__(global_dict, cfg)
         self.code_start, self.code_end = global_dict.add_namespace("<code>", cfg.num_codes)
         self._tokenizer = None
+        # pluggable best-of-N scorer: (images (N,H,W,3) float[0,1], text) ->
+        # (N,) scores, higher = better. Tests inject hermetic proxies here;
+        # the default resolves CLIP lazily per cfg.rerank.
+        self.rerank_scorer = None
+        self._clip = None
 
     @property
     def tokenizer(self):
@@ -82,8 +92,66 @@ class ImageVqganPreprocess(TextPreprocess):
             codes = np.concatenate([codes, np.zeros(n - len(codes), np.int32)])
         return self.tokenizer.decode(codes[:n][None])[0]
 
+    def decode_batch(self, tokens_list: List[np.ndarray]) -> np.ndarray:
+        """Decode many hypotheses' code tokens in ONE jitted VQGAN pass —
+        (N, H, W, 3) out. TPU-first: the reference decodes candidates as one
+        stacked batch too (task/base.py:755-758), and per-candidate decodes
+        would pay a dispatch round-trip each."""
+        n = self.tokenizer.codes_per_image
+        rows = []
+        for toks in tokens_list:
+            t = np.asarray(toks).reshape(-1)
+            codes = (t[(t >= self.code_start) & (t < self.code_end)]
+                     - self.code_start).astype(np.int32)
+            if len(codes) < n:
+                codes = np.concatenate([codes, np.zeros(n - len(codes), np.int32)])
+            rows.append(codes[:n])
+        return self.tokenizer.decode(np.stack(rows))
+
+    def rerank_scores(self, images: np.ndarray, text: str) -> Optional[np.ndarray]:
+        """Score N candidate images against the query text; None = no
+        scorer available (rerank disabled). Pluggable via
+        ``self.rerank_scorer``; default is CLIP text-image similarity
+        (reference image_code.py:202-214 rerank_with_clip)."""
+        if self.rerank_scorer is not None:
+            return np.asarray(self.rerank_scorer(images, text), np.float32)
+        if self.cfg.rerank == "none":
+            return None
+        clip = self._load_clip()
+        if clip is None:
+            return None
+        model, proc = clip
+        import torch
+
+        pil = [np.clip(im * 255.0, 0, 255).astype(np.uint8) for im in images]
+        inputs = proc(text=[str(text)], images=pil, return_tensors="pt", padding=True)
+        with torch.no_grad():
+            out = model(**inputs)
+        return out.logits_per_image[:, 0].numpy().astype(np.float32)
+
+    def _load_clip(self):
+        if self._clip is None:
+            import os
+
+            path = self.cfg.clip_model or os.environ.get("OFA_CLIP_PATH")
+            try:
+                if not path:
+                    raise FileNotFoundError("no clip_model / OFA_CLIP_PATH")
+                from transformers import CLIPModel, CLIPProcessor
+
+                self._clip = (CLIPModel.from_pretrained(path),
+                              CLIPProcessor.from_pretrained(path))
+            except Exception:
+                if self.cfg.rerank == "clip":
+                    raise
+                self._clip = False  # 'auto': degrade to no rerank, once
+        return self._clip or None
+
     def postprocess(self, outputs, sample):
-        for out in outputs if isinstance(outputs, list) else [outputs]:
-            if getattr(out, "tokens", None) is not None:
-                out.image = self.decode(out.tokens)
+        outs = outputs if isinstance(outputs, list) else [outputs]
+        with_tokens = [o for o in outs if getattr(o, "tokens", None) is not None]
+        if with_tokens:
+            images = self.decode_batch([o.tokens for o in with_tokens])
+            for o, im in zip(with_tokens, images):
+                o.image = im
         return outputs

@@ -83,8 +83,88 @@ _task("image_infilling", "what is the complete image? [IMAGE:img,mask_ratio=0.5]
 _task("image_text_matching",
       '[IMAGE:img] does the image describe " [TEXT:cap] "? -> [TEXT:label,closed_set]',
       metrics=("accuracy",), base=TraverseTask)
-_task("image_gen", '[TEXT:cap] -> [IMAGE:code,preprocess=image_vqgan,adaptor=image_vqgan]',
-      metrics=("clip_ti",))
+@register_config("ofasys.task", "image_gen", TaskConfig)
+class ImageGenTask(Task):
+    """Text-to-image over VQGAN codes with best-of-N rerank (reference
+    task/image_gen.py:15-75): N candidates sample per prompt in ONE jitted
+    batched decode (sampling beams are independent streams), all candidate
+    images decode in one batched VQGAN pass, then a pluggable scorer (CLIP
+    when weights resolve — reference image_code.py:202-214) ranks them and
+    the n-best list returns best-first."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = (
+                "[TEXT:cap] -> [IMAGE:code,preprocess=image_vqgan,adaptor=image_vqgan]"
+            )
+        if not self.cfg.evaluation.metrics:
+            self.cfg.evaluation.metrics = ("clip_ti",)
+        if self.cfg.name == "default":
+            self.cfg.name = "image_gen"
+
+    def preprocess(self, data: Dict[str, Any], split: str) -> Optional[Dict[str, Any]]:
+        # caption cleanup (reference task/image_gen.py:16-24)
+        cap = data.get("cap")
+        if isinstance(cap, str):
+            if "&&" in cap:
+                cap = cap.split("&&")[0]
+            cap = _strip_punct(cap).strip().lower()
+            max_words = 64
+            gp = getattr(self, "general_preprocess", None)
+            if gp is not None and "text" in gp.name2pre:
+                max_words = int(gp.name2pre["text"].cfg.max_src_length)
+            data["cap"] = " ".join(cap.split()[:max_words])
+        return data
+
+    def build_generator(self, model, **overrides):
+        pre = self.general_preprocess.name2pre["image_vqgan"]
+        # only <code> tokens may decode (reference image_gen.py:26-33)
+        overrides.setdefault("constraint_range", f"({pre.constraint_range})")
+        n = overrides.get("return_n_best", self.cfg.generation.return_n_best)
+        if n > 1:
+            # best-of-N: N independent sampling streams in one decode
+            overrides.setdefault("sampling", True)
+            overrides.setdefault("beam_size", n)
+        return super().build_generator(model, **overrides)
+
+    def _source_caption(self, sample, b: int) -> Optional[str]:
+        """Recover the query text from the source TEXT slot (the collated
+        sample carries tokens, not raw strings)."""
+        from ofasys_tpu import ModalityType
+
+        for s in sample["net_input"]["slots"]:
+            if s.is_src and s.modality == ModalityType.TEXT and isinstance(s.value, dict):
+                toks = np.asarray(s.value.get("inputs"))[b]
+                pre = self.general_preprocess.name2pre["text"]
+                d = self.global_dict
+                toks = toks[(toks != d.pad()) & (toks != d.eos()) & (toks != d.bos())]
+                return pre.decode(toks)
+        return None
+
+    def inference(self, model, params, sample, **gen_overrides):
+        if self._generator is None:
+            self.build_generator(model, **gen_overrides)
+        outputs = self._generator.generate(params, sample)
+        pre = self.general_preprocess.name2pre["image_vqgan"]
+        flat = [h for hyps in outputs for h in hyps]
+        images = pre.decode_batch([h.tokens for h in flat])  # ONE vqgan pass
+        for h, im in zip(flat, images):
+            h.image = im
+        for b, hyps in enumerate(outputs):
+            if len(hyps) <= 1:
+                continue
+            text = self._source_caption(sample, b)
+            if text is None:
+                continue
+            scores = pre.rerank_scores(np.stack([h.image for h in hyps]), text)
+            if scores is None:
+                continue
+            order = np.argsort(-scores)
+            for h, s in zip(hyps, scores):
+                h.extra = dict(h.extra or {}, rerank_score=float(s))
+            outputs[b] = [hyps[i] for i in order]
+        return outputs
 
 
 # ------------------------------------------------------------------- box
