@@ -31,12 +31,18 @@ ARCH = os.environ.get("BENCH_ARCH", "base")
 VOCAB_EXTRA = 50000          # GPT2-BPE-scale vocab: logits cost is representative
 V5E_BF16_PEAK = 197e12
 
-# the mixed-modality multi-task load (BASELINE.md configs 1/2/4 jointly):
+# the mixed-modality multi-task load (ALL of BASELINE.md's configs 1-5):
 #   name, batch, encoder tokens (post-adaptor), decoder tokens, raw input spec
 CAPTION = dict(name="caption", B=64, img=224, enc_tok=196, dec_tok=24)
 INFILL = dict(name="text_infilling", B=128, src_tok=64, enc_tok=64, dec_tok=64)
 ASR = dict(name="asr", B=32, frames=480, mels=80, enc_tok=120, dec_tok=32)
-TASKS = (CAPTION, INFILL, ASR)
+# config 3: visual grounding / VQA — IMAGE + TEXT query sources, short
+# box-bin/answer token target (box quantization decode shape)
+GROUND = dict(name="grounding_vqa", B=48, img=224, q_tok=16, enc_tok=212, dec_tok=8)
+# config 5's diffusion leg: text-to-motion, full-context diffusion decoder
+# over motion frames with a continuous feature head (no vocab GEMM)
+MOTION = dict(name="motion_t2m", B=32, src_tok=16, enc_tok=16, dec_tok=64, feat=135)
+TASKS = (CAPTION, INFILL, ASR, GROUND, MOTION)
 
 # batch-size scaling experiments: multiply every task's batch (A/B only;
 # the governing config is the default 1)
@@ -50,7 +56,7 @@ CHUNKS = 5
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 # list-of-lists (json round-trip safe: tuples would never equal the loaded
 # lists, silently re-measuring the noisy torch denominator every run)
-BASELINE_KEY = ["mixed_v2", ARCH, VOCAB_EXTRA, [[t["B"], t["enc_tok"], t["dec_tok"]] for t in TASKS]]
+BASELINE_KEY = ["mixed_v3", ARCH, VOCAB_EXTRA, [[t["B"], t["enc_tok"], t["dec_tok"]] for t in TASKS]]
 
 
 # ---------------------------------------------------------------- analytics
@@ -64,8 +70,12 @@ def flops_per_update(E, F, Lenc, Ldec, V):
         dec_self = Ldec * (8 * Td * E * E + 4 * Td * Td * E)
         dec_cross = Ldec * (4 * Td * E * E + 4 * Te * E * E + 4 * Td * Te * E)
         dec_ffn = Ldec * (4 * Td * E * F)
-        logits = 2 * Td * E * V
-        total += B * (enc + dec_self + dec_cross + dec_ffn + logits)
+        if t.get("feat"):
+            # continuous head (diffusion): feature in/out projections only
+            head = 4 * Td * E * t["feat"]
+        else:
+            head = 2 * Td * E * V
+        total += B * (enc + dec_self + dec_cross + dec_ffn + head)
     return 3.0 * total  # fwd + bwd
 
 
@@ -95,8 +105,11 @@ def build_model_and_batches():
         model.cfg.attn_logits = os.environ["BENCH_ATTN"]
     if os.environ.get("BENCH_FUSE"):         # A/B: 1 | 0 (fused QKV GEMM)
         model.cfg.fuse_qkv = os.environ["BENCH_FUSE"] == "1"
+    if os.environ.get("BENCH_LAYOUT"):       # A/B: bthd | bhtd (attn layout)
+        model.cfg.attn_layout = os.environ["BENCH_LAYOUT"]
     model.initialize(
-        d, active_adaptors=("text", "image_vit", "audio_fbank"), dtype=jnp.bfloat16
+        d, active_adaptors=("text", "image_vit", "audio_fbank", "motion_6d"),
+        dtype=jnp.bfloat16,
     )
 
     rng = np.random.default_rng(0)
@@ -137,6 +150,32 @@ def build_model_and_batches():
         ]},
         "target": tgt,
     }
+    # grounding/VQA: IMAGE + TEXT query -> box-bin / answer tokens
+    prev, tgt = text_tgt(GROUND["B"], GROUND["dec_tok"])
+    gimg = jnp.asarray(rng.random((GROUND["B"], GROUND["img"], GROUND["img"], 3)), jnp.float32)
+    q = rng.integers(d.nspecial, d.nspecial + 1000,
+                     size=(GROUND["B"], GROUND["q_tok"])).astype(np.int32)
+    batches["grounding_vqa"] = {
+        "net_input": {"slots": [
+            SlotBatch(ModalityType.IMAGE, True, {"inputs": gimg}, "img"),
+            SlotBatch(ModalityType.TEXT, True, {"inputs": jnp.asarray(q)}, "query"),
+            SlotBatch(ModalityType.TEXT, False, {"inputs": prev}, "box"),
+        ]},
+        "target": tgt,
+    }
+    # text-to-motion: TEXT -> MOTION features, diffusion criterion
+    msrc = rng.integers(d.nspecial, d.nspecial + 1000,
+                        size=(MOTION["B"], MOTION["src_tok"])).astype(np.int32)
+    mval = jnp.asarray(rng.standard_normal((MOTION["B"], MOTION["dec_tok"], MOTION["feat"])),
+                       jnp.float32)
+    batches["motion_t2m"] = {
+        "net_input": {"slots": [
+            SlotBatch(ModalityType.TEXT, True, {"inputs": jnp.asarray(msrc)}, "text"),
+            SlotBatch(ModalityType.MOTION, False,
+                      {"value": mval, "masks": jnp.ones((MOTION["B"], MOTION["dec_tok"]), bool)},
+                      "bvh"),
+        ]},
+    }
     return model, d, batches
 
 
@@ -155,9 +194,15 @@ def measure_tpu_multitask(model, d, batches):
     from ofasys_tpu.engine.optim import build_optimizer
     from ofasys_tpu.engine.train_step import TrainState
 
+    from ofasys_tpu.engine.criterion.diffusion_loss import (
+        DiffusionCriterion,
+        DiffusionCriterionConfig,
+    )
+
     crit = LabelSmoothedCrossEntropyCriterion(
         LabelSmoothedCrossEntropyCriterionConfig(), pad_id=d.pad()
     )
+    diff_crit = DiffusionCriterion(DiffusionCriterionConfig(), pad_id=d.pad())
     optimizer = build_optimizer(OptimizationConfig(lr=(1e-4,), warmup_updates=100), total_num_update=10000)
     params = model.init_params(
         jax.random.PRNGKey(0), [b["net_input"]["slots"] for b in batches.values()]
@@ -167,7 +212,9 @@ def measure_tpu_multitask(model, d, batches):
     from ofasys_tpu.engine.train_step import make_multitask_train_step
 
     fused = make_multitask_train_step(
-        model, {name: crit for name in batches}, optimizer
+        model,
+        {name: (diff_crit if name == "motion_t2m" else crit) for name in batches},
+        optimizer,
     )
     step = jax.jit(fused, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
@@ -201,7 +248,7 @@ def measure_rtt():
     f = jax.jit(lambda x: x + 1.0)
     _ = float(f(jnp.float32(0.0)))
     lats = []
-    for i in range(10):
+    for i in range(30):
         t0 = time.perf_counter()
         _ = float(f(jnp.float32(i)))
         lats.append(time.perf_counter() - t0)
@@ -233,8 +280,12 @@ def measure_decode_latency(model, d):
     gen = SequenceGenerator(model, d, beam_size=1, max_len_b=16, min_len=15)
     sample = {"net_input": {"slots": slots}}
     gen.generate(params, sample)  # compile
+    gen.generate(params, sample)  # warm the device-arg caches
+    # 30 calls, p50: the wall floor is one tunnel RTT + ~12ms device-busy
+    # (xplane-verified); jitter is RTT variance, so a larger sample pins the
+    # median (r2's 10-call median wandered 54 -> 68ms between runs)
     lats = []
-    for _ in range(10):
+    for _ in range(30):
         t0 = time.perf_counter()
         gen.generate(params, sample)
         lats.append(time.perf_counter() - t0)
@@ -270,7 +321,7 @@ def measure_torch_reference_baseline():
     rcfg.no_scale_embedding = True
     rcfg.layernorm_embedding = True
     rcfg.dropout = rcfg.attention_dropout = rcfg.activation_dropout = 0.0
-    for a in ("text", "image_resnet", "audio_fbank"):
+    for a in ("text", "image_resnet", "audio_fbank", "motion_6d"):
         getattr(rcfg.adaptor, a).is_active = True
 
     rd = RefDict()
@@ -317,6 +368,30 @@ def measure_torch_reference_baseline():
          RefSlot(RefMod.TEXT, False, prev, column_name="txt")],
         tgt,
     ))
+    prev, tgt = text_pair(GROUND["B"], GROUND["dec_tok"])
+    task_batches.append((
+        [RefSlot(RefMod.IMAGE, True,
+                 torch.rand(GROUND["B"], 3, GROUND["img"], GROUND["img"], generator=g),
+                 column_name="img"),
+         RefSlot(RefMod.TEXT, True,
+                 torch.randint(5, min(1000, V), (GROUND["B"], GROUND["q_tok"]), generator=g),
+                 column_name="query"),
+         RefSlot(RefMod.TEXT, False, prev, column_name="box")],
+        tgt,
+    ))
+    # motion diffusion leg through the reference's own motion_6d adaptor
+    # (adaptor/motion_6d.py:68-127): full-context decode of noised features;
+    # L1 head stands in for its p_losses (q_sample is elementwise-negligible)
+    motion_slots = [
+        RefSlot(RefMod.TEXT, True,
+                torch.randint(5, min(1000, V), (MOTION["B"], MOTION["src_tok"]), generator=g),
+                column_name="text"),
+        RefSlot(RefMod.MOTION, False,
+                {"value": torch.randn(MOTION["B"], MOTION["dec_tok"], MOTION["feat"], generator=g),
+                 "masks": torch.ones(MOTION["B"], MOTION["dec_tok"], dtype=torch.bool),
+                 "noise_level": torch.randint(0, 1000, (MOTION["B"],), generator=g)},
+                column_name="bvh"),
+    ]
 
     def one_update():
         opt.zero_grad()
@@ -327,6 +402,9 @@ def measure_torch_reference_baseline():
                 logits.reshape(-1, V), tgt.reshape(-1)
             )
             loss.backward()
+        out = rm(motion_slots)
+        pred = out[0] if isinstance(out, tuple) else out
+        torch.nn.functional.l1_loss(pred, torch.randn_like(pred)).backward()
         opt.step()
 
     one_update()  # warmup
@@ -363,21 +441,31 @@ def measure_torch_cpu_baseline():
         nn.Conv1d(ASR["mels"], E, 5, stride=2, padding=2), nn.GELU(),
         nn.Conv1d(E, E, 5, stride=2, padding=2), nn.GELU(),
     )
+    motion_in = nn.Linear(MOTION["feat"], E)
+    motion_out = nn.Linear(E, MOTION["feat"])
     params = (list(model.parameters()) + list(embed.parameters()) + list(proj.parameters())
-              + list(patch.parameters()) + list(sub.parameters()))
+              + list(patch.parameters()) + list(sub.parameters())
+              + list(motion_in.parameters()) + list(motion_out.parameters()))
     opt = torch.optim.AdamW(params, lr=1e-4)
 
     g = torch.Generator().manual_seed(0)
     img = torch.rand(CAPTION["B"], 3, CAPTION["img"], CAPTION["img"], generator=g)
+    gimg = torch.rand(GROUND["B"], 3, GROUND["img"], GROUND["img"], generator=g)
+    gq = torch.randint(0, V, (GROUND["B"], GROUND["q_tok"]), generator=g)
     fb = torch.randn(ASR["B"], ASR["mels"], ASR["frames"], generator=g)
     txt_src = torch.randint(0, V, (INFILL["B"], INFILL["src_tok"]), generator=g)
-    tgts = {t["name"]: torch.randint(0, V, (t["B"], t["dec_tok"]), generator=g) for t in TASKS}
+    msrc = torch.randint(0, V, (MOTION["B"], MOTION["src_tok"]), generator=g)
+    mval = torch.randn(MOTION["B"], MOTION["dec_tok"], MOTION["feat"], generator=g)
+    tgts = {t["name"]: torch.randint(0, V, (t["B"], t["dec_tok"]), generator=g)
+            for t in TASKS if not t.get("feat")}
 
     def encoders():
         return {
             "caption": patch(img).flatten(2).transpose(1, 2),       # (B,196,E)
             "text_infilling": embed(txt_src),                       # (B,64,E)
             "asr": sub(fb).transpose(1, 2),                         # (B,120,E)
+            "grounding_vqa": torch.cat(                              # (B,212,E)
+                [patch(gimg).flatten(2).transpose(1, 2), embed(gq)], dim=1),
         }
 
     def one_update():
@@ -388,6 +476,9 @@ def measure_torch_cpu_baseline():
             out = model(src, embed(tgt))
             loss = nn.functional.cross_entropy(proj(out).reshape(-1, V), tgt.reshape(-1))
             loss.backward()
+        # motion diffusion leg: full-context decoder over frames, L1 head
+        out = motion_out(model(embed(msrc), motion_in(mval)))
+        nn.functional.l1_loss(out, torch.randn_like(out)).backward()
         opt.step()
 
     one_update()  # warmup
@@ -454,9 +545,13 @@ def main():
         base = ref_base = None
 
     out = {
-        "metric": f"mixed-modality multi-task train (caption+infilling+asr, {ARCH} arch, summed co-training)",
+        "metric": (f"mixed-modality multi-task train (caption+infilling+asr"
+                   f"+grounding/vqa+motion-diffusion, {ARCH} arch, summed co-training)"),
         "value": round(rate, 2),
         "unit": "samples/sec/chip",
+        # all tasks run inside the same fused update, so per-task rate is
+        # its batch contribution per update
+        "per_task_samples_per_sec": {t["name"]: round(t["B"] / sec_per_update, 1) for t in TASKS},
         # conservative denominator: architecture-matched torch nn.Transformer
         "vs_baseline": round(rate / base, 2) if base else None,
         # apples-to-apples denominator: the ACTUAL reference GeneralistModel

@@ -141,6 +141,12 @@ class SequenceGenerator:
             else None
         )
         self._compiled: Dict[Any, Any] = {}
+        # device-resident arg cache: re-putting the PRNG key / empty prefix
+        # every call adds transfer latency to the decode chain on a tunneled
+        # device (measured ~4ms of the 42ms wall; the compute floor is
+        # RTT + ~12ms device-busy for a 16-token greedy decode)
+        self._rng_cache: Dict[int, Any] = {}
+        self._empty_prefix: Dict[int, Any] = {}
 
     # ----------------------------------------------------------- public API
     def generate(self, params, sample: Dict[str, Any], prefix_tokens: Optional[np.ndarray] = None,
@@ -173,10 +179,15 @@ class SequenceGenerator:
             if pt.size and pt.shape[1] > 0:
                 prefix_tokens = pt
         if prefix_tokens is not None:
-            prefix_tokens = np.asarray(prefix_tokens, np.int32)
+            prefix_tokens = jnp.asarray(np.asarray(prefix_tokens, np.int32))
             P = prefix_tokens.shape[1]
         else:
-            prefix_tokens = np.zeros((B, 0), np.int32)
+            if B not in self._empty_prefix:
+                self._empty_prefix[B] = jnp.zeros((B, 0), jnp.int32)
+            prefix_tokens = self._empty_prefix[B]
+        if seed not in self._rng_cache:
+            self._rng_cache[seed] = jax.random.PRNGKey(seed)
+        rng_key = self._rng_cache[seed]
 
         cons = None
         mach = None
@@ -196,8 +207,8 @@ class SequenceGenerator:
                 functools.partial(self._generate, max_len=max_len, min_len=min_len,
                                   prefix_len=P, mach=mach)
             )
-        seqs, scores = self._compiled[key](params, src_slots, tgt_slot, jnp.asarray(prefix_tokens),
-                                           jax.random.PRNGKey(seed), cons)
+        seqs, scores = self._compiled[key](params, src_slots, tgt_slot, prefix_tokens,
+                                           rng_key, cons)
         # ONE device_get for both outputs: sequential np.asarray() readbacks
         # each pay a full tunnel round-trip (~30ms on axon), doubling decode
         # wall time for no reason
