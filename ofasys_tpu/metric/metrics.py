@@ -254,8 +254,9 @@ class CiderMetric(BaseMetric):
 @register_config("ofasys.metric", "clip_ti", MetricConfig)
 class ClipTiMetric(BaseMetric):
     """CLIP text-image similarity for image generation (reference
-    metric/clip_ti.py). Requires CLIP weights on disk; reports 0 with a
-    warning when unavailable (zero-egress environments)."""
+    metric/clip_ti.py). Requires CLIP weights on disk (OFA_CLIP_PATH);
+    reports NaN — never a constant 0 that could silently win or lose an
+    automated comparison — when unavailable (zero-egress environments)."""
 
     def compute(self, hyps, refs):
         try:
@@ -268,7 +269,13 @@ class ClipTiMetric(BaseMetric):
             model = CLIPModel.from_pretrained(path)
             proc = CLIPProcessor.from_pretrained(path)
         except Exception:
-            return {"clip_ti": 0.0, "clip_ti_available": 0.0}
+            import logging
+
+            logging.getLogger("ofasys_tpu.metric").warning(
+                "clip_ti: CLIP weights unavailable (set OFA_CLIP_PATH); "
+                "reporting NaN"
+            )
+            return {"clip_ti": float("nan"), "clip_ti_available": 0.0}
         import torch
 
         sims = []
@@ -278,3 +285,51 @@ class ClipTiMetric(BaseMetric):
                 out = model(**inputs)
             sims.append(float(out.logits_per_image[0, 0]))
         return {"clip_ti": sum(sims) / max(len(sims), 1), "clip_ti_available": 1.0}
+
+
+@dataclass
+class SqlExecMetricConfig(MetricConfig):
+    # root of the Spider database layout: {database_path}/{db_id}/{db_id}.sqlite
+    # (a flat {database_path}/{db_id}.sqlite layout is also accepted)
+    database_path: str = ""
+
+
+@register_config("ofasys.metric", "sql_exec_acc", SqlExecMetricConfig)
+class SqlExecAccMetric(BaseMetric):
+    """Spider execution accuracy: predicted and gold SQL are run against the
+    example's sqlite database and their result multisets compared (reference
+    ofasys/utils/test_suite/ execution evaluation). Both hyp and ref carry
+    the database id as a ``db_id | sql`` prefix (the reference's
+    target_with_db_id encoding, ofasys/task/spider.py:75-108)."""
+
+    @staticmethod
+    def _split(s: str):
+        db_id, sep, sql = str(s).partition("|")
+        if not sep:
+            return None, str(s).strip()
+        return db_id.strip(), sql.strip()
+
+    def _db_file(self, db_id: str):
+        import os
+
+        for cand in (
+            os.path.join(self.cfg.database_path, db_id, f"{db_id}.sqlite"),
+            os.path.join(self.cfg.database_path, f"{db_id}.sqlite"),
+        ):
+            if os.path.isfile(cand):
+                return cand
+        return None
+
+    def compute(self, hyps, refs):
+        from ofasys_tpu.utils.sql_eval import execution_match
+
+        ok, total = 0, 0
+        for h, r in zip(hyps, refs):
+            gold_db, gold_sql = self._split(r)
+            _, pred_sql = self._split(h)
+            total += 1
+            db = self._db_file(gold_db) if gold_db else None
+            if db is None:
+                continue
+            ok += execution_match(db, pred_sql, gold_sql)
+        return {"sql_exec_acc": ok / max(total, 1)}

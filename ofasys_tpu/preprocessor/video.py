@@ -45,6 +45,10 @@ class VideoPreprocess(ImagePreprocess):
         if isinstance(value, str) and value.endswith(".npy"):
             arr = np.load(value)
             return [arr[i] for i in range(arr.shape[0])]
+        if isinstance(value, str) and value.lower().endswith(
+            (".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v")
+        ):
+            return self._decode_video(value)
         # animated image (GIF) path/bytes
         import io as _io
 
@@ -58,6 +62,46 @@ class VideoPreprocess(ImagePreprocess):
             pass
         if not frames:
             raise PreprocessSkipException("no decodable frames")
+        return frames
+
+    def _decode_video(self, path: str) -> List[np.ndarray]:
+        """Codec decode of a video file (reference
+        preprocessor/default/video.py:104-170 uses decord/pyav). OpenCV's
+        ffmpeg backend is the hermetic decoder here; pyav is the fallback
+        when cv2 is unavailable. Frames return as RGB float32 HWC."""
+        try:
+            import cv2
+        except ImportError:
+            cv2 = None
+        if cv2 is not None:
+            cap = cv2.VideoCapture(path)
+            if not cap.isOpened():
+                raise PreprocessSkipException(f"cannot open video {path}")
+            frames = []
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                frames.append(bgr[:, :, ::-1].astype(np.float32))
+            cap.release()
+            if not frames:
+                raise PreprocessSkipException(f"no decodable frames in {path}")
+            return frames
+        try:
+            import av
+        except ImportError as e:
+            raise ImportError(
+                "video codec decode needs opencv-python (cv2) or pyav; "
+                "neither is installed. Pre-extract frames to .npy / frame "
+                "lists for fully hermetic pipelines."
+            ) from e
+        with av.open(path) as container:
+            frames = [
+                np.asarray(f.to_image(), np.float32)
+                for f in container.decode(video=0)
+            ]
+        if not frames:
+            raise PreprocessSkipException(f"no decodable frames in {path}")
         return frames
 
     def sample_frames(self, frames: List[np.ndarray], split: str) -> List[np.ndarray]:

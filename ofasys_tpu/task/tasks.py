@@ -259,9 +259,76 @@ _task("dart", 'what is the description of table " [STRUCT:table,preprocess=struc
 _task("fetaqa",
       'answer the question " [TEXT:question] " from table " [STRUCT:table,preprocess=struct] " -> [TEXT:answer]',
       metrics=("bleu", "rouge"))
-_task("spider",
-      '" [TEXT:question] " ; structured knowledge: " [STRUCT:database,preprocess=database] " -> [TEXT:query]',
-      metrics=("exact_match",))
+@dataclasses.dataclass
+class SpiderTaskConfig(TaskConfig):
+    # Spider layout root: {database_path}/{db_id}/{db_id}.sqlite (flat
+    # {database_path}/{db_id}.sqlite also accepted)
+    database_path: Optional[str] = None
+    # encode the db id into the target ("db_id | sql") so execution-accuracy
+    # evaluation can locate each example's database (reference
+    # task/spider.py:20-21 target_with_db_id)
+    target_with_db_id: bool = True
+
+
+@register_config("ofasys.task", "spider", SpiderTaskConfig)
+class SpiderTask(Task):
+    """Text-to-SQL with execution-accuracy evaluation (reference
+    task/spider.py): records carry a question + db_id; the database schema is
+    dumped from the sqlite file and linearized into the prompt, and the
+    sql_exec_acc metric runs predicted vs gold SQL on that database."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = (
+                '" [TEXT:question] " ; structured knowledge: '
+                '" [STRUCT:database,preprocess=database] " -> [TEXT:query]'
+            )
+        if not self.cfg.evaluation.metrics:
+            self.cfg.evaluation.metrics = ("exact_match", "sql_exec_acc")
+        if self.cfg.name == "default":
+            self.cfg.name = "spider"
+        self._schema_cache: Dict[str, Any] = {}
+
+    def initialize(self, global_dict, is_train: bool = True):
+        super().initialize(global_dict, is_train)
+        # point the exec-accuracy metric at this task's database root
+        for m in self.metrics:
+            if hasattr(m.cfg, "database_path") and self.cfg.database_path:
+                m.cfg.database_path = self.cfg.database_path
+
+    def _db_file(self, db_id: str) -> Optional[str]:
+        import os
+
+        root = self.cfg.database_path
+        if not root:
+            return None
+        for cand in (os.path.join(root, db_id, f"{db_id}.sqlite"),
+                     os.path.join(root, f"{db_id}.sqlite")):
+            if os.path.isfile(cand):
+                return cand
+        return None
+
+    def preprocess(self, data: Dict[str, Any], split: str) -> Dict[str, Any]:
+        db_id = data.get("db_id")
+        if db_id and "database" not in data:
+            if db_id not in self._schema_cache:
+                from ofasys_tpu.utils.sql_eval import dump_schema
+
+                db = self._db_file(db_id)
+                self._schema_cache[db_id] = (
+                    dump_schema(db, db_id) if db else {"db_id": db_id, "tables": {}}
+                )
+            data["database"] = self._schema_cache[db_id]
+        q = data.get("query")
+        if q is not None:
+            q = str(q).lower().replace("<unk>", "unk").strip()
+            if db_id and self.cfg.target_with_db_id and not q.startswith(f"{db_id} |"):
+                q = f"{db_id} | {q}"
+            data["query"] = q
+        if "question" in data:
+            data["question"] = str(data["question"]).lower().replace("<unk>", "unk").strip()
+        return data
 
 
 # ----------------------------------------------------------------- audio

@@ -75,3 +75,28 @@ class TraverseTask(Task):
             scores[:, ai] = np.asarray(s)
         best = scores.argmax(axis=1)
         return [answers[i] for i in best]
+
+    def evaluate(self, model, params, split: str = "valid",
+                 max_batches: Optional[int] = None,
+                 rank: int = 0, world_size: int = 1) -> Dict[str, float]:
+        """Closed-set evaluation: instead of free generation, every candidate
+        answer is scored and the argmax compared to the reference (the
+        reference's valid_step for classification tasks,
+        ofasys/task/traverse_task.py:15)."""
+        it = self.get_batch_iterator(split, rank=rank, world_size=world_size)
+        answers = self.candidate_answers()
+        text_pre = self.general_preprocess.name2pre["text"]
+        hyps: List[str] = []
+        refs: List[str] = []
+        for i, batch in enumerate(it.next_epoch_itr(shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            picks = self.rank_answers(model, params, batch, answers)
+            n_valid = batch.get("n_valid", len(picks))
+            hyps.extend(picks[:n_valid])
+            for b in range(n_valid):
+                refs.append(text_pre.decode(np.asarray(batch["target"])[b]))
+        results: Dict[str, float] = {}
+        for metric in self.metrics:
+            results.update(metric.compute(hyps, refs))
+        return results

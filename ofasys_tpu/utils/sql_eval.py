@@ -56,3 +56,25 @@ def execution_accuracy(
     """Fraction of predictions whose execution result matches gold."""
     ok = sum(execution_match(db, p, g) for p, g, db in zip(preds, golds, db_paths))
     return ok / max(len(preds), 1)
+
+
+def dump_schema(db_path: str, db_id: Optional[str] = None) -> dict:
+    """sqlite file -> the {"db_id", "tables": {name: [cols]}} dict the
+    database preprocessor linearizes (the reference builds the same structure
+    with dump_db_json_schema, ofasys/utils/spider/get_tables.py)."""
+    import os
+
+    if db_id is None:
+        db_id = os.path.splitext(os.path.basename(db_path))[0]
+    conn = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    try:
+        tables = [r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' "
+            "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+        )]
+        out = {}
+        for t in tables:
+            out[t] = [r[1] for r in conn.execute(f'PRAGMA table_info("{t}")')]
+    finally:
+        conn.close()
+    return {"db_id": db_id, "tables": out}

@@ -1,0 +1,203 @@
+"""Long-tail vertical smokes: video_caption, spider, sudoku, snli_ve each run
+a REAL train step and a REAL metric through ``task.evaluate`` (reference
+ofasys/task/{video_caption,spider,sudoku,snli_ve}.py) — not just template
+parsing. Kept tiny (1-layer models, 32px frames) so the whole file stays in
+the fast tier."""
+
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from ofasys_tpu import GeneralistModel, Task, Trainer
+from ofasys_tpu.configure import ConfigStore, TrainerConfig
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _reset():
+    yield
+    ConfigStore().reset()
+
+
+def build_task(name: str) -> Task:
+    return ConfigStore().get("ofasys.task", name).target_cls()
+
+
+def tiny_model():
+    model = GeneralistModel(arch="tiny")
+    model.cfg.encoder.layers = model.cfg.decoder.layers = 1
+    model.cfg.dropout = 0.0
+    return model
+
+
+def fit(task, max_update=4, lr=5e-3):
+    model = tiny_model()
+    cfg = TrainerConfig()
+    cfg.checkpoint.no_save = True
+    cfg.optimization.lr = (lr,)
+    trainer = Trainer(cfg)
+    state = trainer.fit(model, [task], max_update=max_update)
+    loss = trainer.meters[f"{task.name}:loss"].avg
+    assert np.isfinite(loss), (task.name, loss)
+    return model, state
+
+
+def test_video_caption_train_and_evaluate():
+    store = ConfigStore()
+    store.get("ofasys.preprocess", "video").config.patch_image_size = 32
+    store.get("ofasys.preprocess", "video").config.num_frames = 2
+
+    rng = np.random.default_rng(0)
+    caps = ["a man runs", "a dog barks"]
+    recs = [
+        {"video": (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8),
+         "cap": caps[i % 2]}
+        for i in range(8)
+    ]
+    task = build_task("video_caption")
+    task.cfg.dataset.batch_size = 8
+    task.add_dataset(recs, "train")
+    task.add_dataset(recs[:8], "valid")
+    model, state = fit(task)
+
+    task.cfg.generation.beam = 1
+    task.cfg.generation.max_len_b = 6
+    results = task.evaluate(model, state.params, split="valid", max_batches=1)
+    assert "cider" in results and np.isfinite(results["cider"])
+
+
+def test_sudoku_train_and_evaluate():
+    # 4x4 boards as pre-linearized struct strings (struct preprocessor
+    # passes strings through)
+    puzzles = ["1 0 : 0 2 | 0 2 : 1 0", "2 0 : 0 1 | 0 1 : 2 0"]
+    solutions = ["1 2 : 1 2 | 1 2 : 1 2", "2 1 : 2 1 | 2 1 : 2 1"]
+    recs = [{"puzzle": puzzles[i % 2], "solution": solutions[i % 2]} for i in range(8)]
+    task = build_task("sudoku")
+    task.cfg.dataset.batch_size = 8
+    task.add_dataset(recs, "train")
+    task.add_dataset(recs[:8], "valid")
+    model, state = fit(task)
+
+    task.cfg.generation.beam = 1
+    task.cfg.generation.max_len_b = 16
+    results = task.evaluate(model, state.params, split="valid", max_batches=1)
+    assert "solved_acc" in results and 0.0 <= results["solved_acc"] <= 1.0
+
+
+def _make_spider_db(root):
+    db = os.path.join(root, "farm.sqlite")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE cows (id INTEGER, name TEXT)")
+    conn.executemany("INSERT INTO cows VALUES (?, ?)",
+                     [(1, "bessie"), (2, "daisy"), (3, "mabel")])
+    conn.commit()
+    conn.close()
+    return db
+
+
+def test_spider_exec_accuracy_train_and_evaluate(tmp_path):
+    _make_spider_db(str(tmp_path))
+    task = build_task("spider")
+    task.cfg.database_path = str(tmp_path)
+    task.cfg.dataset.batch_size = 8
+
+    recs = [
+        {"question": "how many cows are there?", "db_id": "farm",
+         "query": "select count(*) from cows"},
+        {"question": "list all cow names", "db_id": "farm",
+         "query": "select name from cows"},
+    ] * 4
+    task.add_dataset(recs, "train")
+    task.add_dataset(recs[:8], "valid")
+
+    # preprocess dumps the schema from the sqlite file into the prompt and
+    # prefixes the target with the db id
+    rec = task.preprocess(dict(recs[0]), "train")
+    assert rec["database"] == {"db_id": "farm", "tables": {"cows": ["id", "name"]}}
+    assert rec["query"].startswith("farm | ")
+
+    model, state = fit(task)
+    task.cfg.generation.beam = 1
+    task.cfg.generation.max_len_b = 12
+    results = task.evaluate(model, state.params, split="valid", max_batches=1)
+    assert "sql_exec_acc" in results and 0.0 <= results["sql_exec_acc"] <= 1.0
+    assert "exact_match" in results
+
+    # the exec path itself: identical SQL and semantically-equal SQL both
+    # count; wrong SQL doesn't
+    exec_metric = [m for m in task.metrics if hasattr(m.cfg, "database_path")][0]
+    assert exec_metric.cfg.database_path == str(tmp_path)
+    out = exec_metric.compute(
+        ["farm | SELECT count(id) FROM cows", "farm | select 99"],
+        ["farm | select count(*) from cows", "farm | select count(*) from cows"],
+    )
+    assert out["sql_exec_acc"] == 0.5
+
+
+def test_video_codec_decode_mp4(tmp_path):
+    """Real codec decode (reference preprocessor/default/video.py:104-170):
+    a tiny mp4 is encoded locally with cv2's ffmpeg backend, then the video
+    preprocessor decodes + samples + normalizes it like any frame source."""
+    cv2 = pytest.importorskip("cv2")
+
+    path = str(tmp_path / "tiny.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (32, 32))
+    assert w.isOpened()
+    for i in range(6):
+        frame = np.zeros((32, 32, 3), np.uint8)
+        frame[:, :, 2] = i * 40  # red ramp (BGR order on the cv2 side)
+        w.write(frame)
+    w.release()
+
+    from ofasys_tpu.preprocessor.instruction import Slot
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu import ModalityType
+
+    store = ConfigStore()
+    node = store.get("ofasys.preprocess", "video")
+    node.config.patch_image_size = 32
+    node.config.num_frames = 4
+    pre = node.target_cls(Dictionary(), node.config)
+
+    frames = pre._decode_video(path)
+    assert len(frames) == 6 and frames[0].shape == (32, 32, 3)
+    # decoded as RGB: the ramp lives in channel 0 and increases over time
+    assert frames[5][..., 0].mean() > frames[1][..., 0].mean()
+
+    slot = Slot(ModalityType.VIDEO, True, path, column_name="video", split="test")
+    out = pre.map(slot)
+    assert out.value["inputs"].shape == (4, 32, 32, 3)
+    assert np.isfinite(out.value["inputs"]).all()
+
+
+def test_snli_ve_train_and_closed_set_evaluate(tmp_path):
+    import json
+
+    store = ConfigStore()
+    store.get("ofasys.preprocess", "image").config.patch_image_size = 32
+    ans_file = tmp_path / "ans2label.json"
+    ans_file.write_text(json.dumps({"yes": 0, "no": 1, "maybe": 2}))
+    store.get("ofasys.preprocess", "text").config.ans2label_file = str(ans_file)
+
+    rng = np.random.default_rng(1)
+    labels = ["yes", "no", "maybe"]
+    recs = [
+        {"img": (rng.random((32, 32, 3)) * 255).astype(np.float32),
+         "hypothesis": "a dog is outside",
+         "caption": "an animal is in the yard",
+         "label": labels[i % 3]}
+        for i in range(8)
+    ]
+    task = build_task("snli_ve")
+    task.cfg.dataset.batch_size = 8
+    task.add_dataset(recs, "train")
+    task.add_dataset(recs[:8], "valid")
+    model, state = fit(task)
+
+    # closed-set evaluation ranks the 3 candidate answers per sample
+    assert sorted(task.candidate_answers()) == ["maybe", "no", "yes"]
+    results = task.evaluate(model, state.params, split="valid", max_batches=1)
+    assert "accuracy" in results and 0.0 <= results["accuracy"] <= 1.0
