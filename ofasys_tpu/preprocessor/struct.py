@@ -217,12 +217,17 @@ class TextPhonePreprocess(PhonePreprocess):
         try:
             from g2p_en import G2p
 
-            # strip stress digits so g2p output maps onto the hermetic
-            # inventory when no phone_dict_file carries stressed variants
-            phones = [p.rstrip("012") for p in G2p()(text) if p.strip() and p != " "]
-            return [p for p in phones if p.strip()]
-        except ImportError:
+            raw = list(G2p()(text))
+        except Exception:
+            # no g2p_en, or a stubbed module (utils/reference_compat installs
+            # sys.modules stubs whose import succeeds but whose call fails)
             return hermetic_g2p(text)
+        if not all(isinstance(p, str) for p in raw):
+            return hermetic_g2p(text)
+        # strip stress digits so g2p output maps onto the hermetic
+        # inventory when no phone_dict_file carries stressed variants
+        phones = [p.rstrip("012") for p in raw if p.strip() and p != " "]
+        return [p for p in phones if p.strip()]
 
     def map(self, slot: Slot) -> Slot:
         if not slot.is_src and slot.value is None:
