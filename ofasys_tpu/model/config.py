@@ -92,6 +92,18 @@ class GeneralistModelConfig(BaseDataclass):
     # quantized training (those paths need per-kernel scales). Measured on
     # the mixed bench: 1496 vs 1476 samples/s (+1.4%, 45.0% MFU).
     fuse_qkv: bool = True
+    # q/k/v memory layout through the dense (XLA) attention path:
+    #   'bthd' — (B,T,H,D), the projection GEMMs' natural reshape; XLA's
+    #            layout assignment inserts its own copies around the score
+    #            matmuls (~11ms/update on the mixed bench profile)
+    #   'bhtd' — transpose to the batched-matmul-native (B,H,T,D) right at
+    #            the projections (and back before out_proj) so the layout
+    #            change sits where XLA can fuse it into the GEMM epilogues.
+    #            Measured on the 5-task mixed bench: 1538 vs 1508 samples/s
+    #            (+2.0%, 44.6% MFU). Gated to batch*rows >= 256 per call —
+    #            B=1 serving encoders measured ~2-3ms slower transposed.
+    # Numerically identical (same contractions, same accumulation dtype).
+    attn_layout: str = "bhtd"
     remat: str = "none"                # 'none' | 'full' | 'dots' — per-layer jax.checkpoint
                                        # ('dots' saves matmul results only; elementwise
                                        # chains recompute in the backward)

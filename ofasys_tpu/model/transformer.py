@@ -185,6 +185,12 @@ class MultiheadAttention(nn.Module):
     # cfg.fuse_qkv: projections of the same input run as ONE GEMM (the
     # kernels concatenate at compute time; param layout unchanged)
     fuse_qkv: bool = True
+    # cfg.attn_layout: memory layout of q/k/v through the XLA dense path.
+    # 'bhtd' transposes to the batched-matmul-native (B,H,T,D) form right at
+    # the projection GEMMs (and back right before out_proj), so the layout
+    # change fuses into the GEMM epilogues instead of XLA inserting copy
+    # passes around the score matmuls
+    attn_layout: str = "bthd"
 
     @nn.compact
     def __call__(
@@ -326,13 +332,26 @@ class MultiheadAttention(nn.Module):
 
                 cm = _cm(Tq_, Tk_)
                 eff_mask = cm if eff_mask is None else jnp.logical_and(eff_mask, cm)
+            # gate on batch*rows (static at trace time): training-sized
+            # calls win ~2% from GEMM-fused transposes; tiny serving shapes
+            # (B=1 encoder inside a decode program) measured ~2-3ms SLOWER
+            # with them, so they keep the plain layout
+            bhtd = (self.attn_layout == "bhtd" and cache is None
+                    and B * Tq_ >= 256)
+            if bhtd:
+                q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             x = dot_product_attention(
                 q, k, v,
                 bias=bias, mask=eff_mask, scale=scaling,
                 dropout_rate=dropout, dropout_rng=dropout_rng,
                 dtype=self.dtype,
                 logits_dtype=self.dtype if self.logits_compute else None,
+                layout="bhtd" if bhtd else "bthd",
             )
+            if bhtd:
+                # restore (B,T,H,D) for the epilogue (and the observer branch)
+                q, k = q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3)
+                x = x.transpose(0, 2, 1, 3)
         if self.is_mutable_collection("intermediates"):
             # observers (guided-attention loss) request probabilities by
             # making 'intermediates' mutable; this branch never traces in
@@ -524,6 +543,7 @@ class TransformerEncoderLayer(nn.Module):
             qtrain=getattr(cfg, "quant_training", "none") == "fwd",
             logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
             fuse_qkv=getattr(cfg, "fuse_qkv", True),
+            attn_layout=getattr(cfg, "attn_layout", "bthd"),
         )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
           deterministic=deterministic)
         if cfg.scale_attn:
@@ -596,6 +616,7 @@ class TransformerDecoderLayer(nn.Module):
             qtrain=getattr(cfg, "quant_training", "none") == "fwd",
             logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
             fuse_qkv=getattr(cfg, "fuse_qkv", True),
+            attn_layout=getattr(cfg, "attn_layout", "bthd"),
         )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
@@ -619,6 +640,7 @@ class TransformerDecoderLayer(nn.Module):
                 qtrain=getattr(cfg, "quant_training", "none") == "fwd",
                 logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
             fuse_qkv=getattr(cfg, "fuse_qkv", True),
+            attn_layout=getattr(cfg, "attn_layout", "bthd"),
             )(h, encoder_out, bias=cross_bias, mask=cross_mask,
               use_flash=cfg.use_flash_attention, deterministic=deterministic,
               cache=None if cache is None else cache.get("cross"), static_kv=True)

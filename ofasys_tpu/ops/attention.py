@@ -42,14 +42,44 @@ def dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     dtype: Optional[jnp.dtype] = None,
     logits_dtype: Optional[jnp.dtype] = None,
+    layout: str = "bthd",
 ) -> jax.Array:
-    """Batched multi-head attention with additive bias (XLA path)."""
+    """Batched multi-head attention with additive bias (XLA path).
+
+    ``layout`` is the q/k/v (and output) memory layout:
+      'bthd' — (B, T, H, D), the projection GEMMs' natural reshape
+      'bhtd' — (B, H, T, D), the batched-matmul-native form; the caller
+               transposes around the call so the transposes sit adjacent to
+               the projection/output GEMMs where XLA can fuse them, instead
+               of XLA inserting its own copies around the score matmuls
+    """
     out_dtype = dtype or q.dtype
+    if layout == "bhtd":
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        logits = _finish_logits(logits, bias, mask, scale, logits_dtype)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        probs = probs.astype(out_dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(out_dtype))
     # fp32 logits on the MXU: preferred_element_type keeps the accumulator
     # fp32 even when q/k are bf16.
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
+    logits = _finish_logits(logits, bias, mask, scale, logits_dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(out_dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(out_dtype))
+
+
+def _finish_logits(logits, bias, mask, scale, logits_dtype):
     logits = logits * jnp.float32(scale)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -62,12 +92,7 @@ def dot_product_attention(
         # under fp16 (bmm in half, softmax(dtype=float32),
         # multihead_attention.py:334-349)
         logits = logits.astype(logits_dtype).astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    probs = probs.astype(out_dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(out_dtype))
+    return logits
 
 
 def causal_mask(tq: int, tk: int, dtype=jnp.bool_) -> jax.Array:
