@@ -36,6 +36,7 @@ def test_parse_flags_builds_config_dict():
     assert rest == ["extra.yaml"]
 
 
+@pytest.mark.slow
 def test_flag_bridge_end_to_end_fit(tmp_path):
     import csv
 
