@@ -201,3 +201,43 @@ def test_snli_ve_train_and_closed_set_evaluate(tmp_path):
     assert sorted(task.candidate_answers()) == ["maybe", "no", "yes"]
     results = task.evaluate(model, state.params, split="valid", max_batches=1)
     assert "accuracy" in results and 0.0 <= results["accuracy"] <= 1.0
+
+
+@pytest.mark.parametrize(
+    "name,recs,metric",
+    [
+        ("gigaword",
+         [{"src": "the stock market rallied sharply on tuesday morning",
+           "tgt": "stocks rally"},
+          {"src": "heavy rain flooded the coastal towns overnight",
+           "tgt": "floods hit coast"}],
+         "rougeL"),
+        ("natural_instruction_v2",
+         [{"src": "Definition: negate the word. Input: hot.", "tgt": "cold"},
+          {"src": "Definition: negate the word. Input: up.", "tgt": "down"}],
+         "rougeL"),
+        ("fetaqa",
+         [{"question": "who won in 1998?",
+           "table": "year : 1998 | winner : france",
+           "answer": "france won in 1998"},
+          {"question": "who won in 2002?",
+           "table": "year : 2002 | winner : brazil",
+           "answer": "brazil won in 2002"}],
+         "bleu"),
+    ],
+)
+def test_text_longtail_train_and_evaluate(name, recs, metric):
+    """gigaword / NIv2 / fetaqa (reference task/{gigaword,natural_instruction
+    _v2,fetaqa}.py): a real train step and a real generate+metric pass each,
+    not just template parsing."""
+    task = build_task(name)
+    task.cfg.dataset.batch_size = 8
+    data = [recs[i % 2] for i in range(8)]
+    task.add_dataset(data, "train")
+    task.add_dataset(data, "valid")
+    model, state = fit(task)
+
+    task.cfg.generation.beam = 1
+    task.cfg.generation.max_len_b = 8
+    results = task.evaluate(model, state.params, split="valid", max_batches=1)
+    assert metric in results and np.isfinite(results[metric])
