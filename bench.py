@@ -107,6 +107,8 @@ def build_model_and_batches():
         model.cfg.fuse_qkv = os.environ["BENCH_FUSE"] == "1"
     if os.environ.get("BENCH_LAYOUT"):       # A/B: bthd | bhtd (attn layout)
         model.cfg.attn_layout = os.environ["BENCH_LAYOUT"]
+    if os.environ.get("BENCH_FLASH"):        # A/B: 1 | 0 (Pallas flash attn)
+        model.cfg.use_flash_attention = os.environ["BENCH_FLASH"] == "1"
     model.initialize(
         d, active_adaptors=("text", "image_vit", "audio_fbank", "motion_6d"),
         dtype=jnp.bfloat16,
@@ -386,11 +388,14 @@ def measure_torch_reference_baseline():
         RefSlot(RefMod.TEXT, True,
                 torch.randint(5, min(1000, V), (MOTION["B"], MOTION["src_tok"]), generator=g),
                 column_name="text"),
+        # default_adaptor[MOTION] is 'text' in the reference
+        # (adaptor/general.py:43) — route explicitly, like its instruction
+        # templates do; padding mask is fairseq convention (True = pad)
         RefSlot(RefMod.MOTION, False,
                 {"value": torch.randn(MOTION["B"], MOTION["dec_tok"], MOTION["feat"], generator=g),
-                 "masks": torch.ones(MOTION["B"], MOTION["dec_tok"], dtype=torch.bool),
-                 "noise_level": torch.randint(0, 1000, (MOTION["B"],), generator=g)},
-                column_name="bvh"),
+                 "masks": torch.zeros(MOTION["B"], MOTION["dec_tok"], dtype=torch.bool),
+                 "noise_level": torch.randint(0, 999, (MOTION["B"],), generator=g)},
+                column_name="bvh", attributes=["adaptor=motion_6d"]),
     ]
 
     def one_update():

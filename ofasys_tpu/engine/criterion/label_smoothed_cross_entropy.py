@@ -24,7 +24,10 @@ from ofasys_tpu.utils.pytree import SlotBatch
 @dataclass
 class LabelSmoothedCrossEntropyCriterionConfig(CriterionConfig):
     label_smoothing: float = 0.1
-    report_accuracy: bool = True
+    # default False matches the reference (label_smoothed_cross_entropy.py:23
+    # "Default: false") and keeps the per-step argmax over (B*T, V) logits —
+    # ~0.7% of update device time at GPT2-scale vocab — out of the hot loop
+    report_accuracy: bool = False
     ignore_eos: bool = False
     drop_worst_ratio: float = 0.0
     drop_worst_after: int = 0

@@ -57,12 +57,114 @@ CATEGORIES = (
 )
 
 
-def categorize(name: str) -> str:
+def categorize(name: str, matmul_fusions=None) -> str:
     low = name.lower()
     for cat, pat in CATEGORIES:
         if re.search(pat, low):
+            if cat == "matmul/fusion" and matmul_fusions is not None:
+                # split by whether the fusion's computation contains a
+                # dot/convolution (classified from the compiled HLO at
+                # capture time) — 'fusion' alone says nothing about MXU use
+                base = name.lstrip("%").split(" ", 1)[0]
+                if base in matmul_fusions or "dot" in low.split(" = ")[0]:
+                    return "fusion: matmul/conv"
+                if "fusion" in low:
+                    return "fusion: bandwidth (elementwise/reduce)"
             return cat
     return "other"
+
+
+def classify_fusions_from_hlo(hlo_text: str):
+    """Fusion op names whose called computation contains a dot/convolution.
+
+    Parses the optimized-HLO pretty text: computation bodies are scanned for
+    ``dot(`` / ``convolution(``; fusion ops are mapped to their computation
+    via ``calls=``.
+    """
+    has_mxu = {}
+    cur, mxu = None, False
+    for line in hlo_text.splitlines():
+        if cur is None:
+            m = re.match(r"\s*%?([\w.-]+)\s*\(.*\)\s*->\s*.+\{", line)
+            if m and "fusion(" not in line:
+                cur, mxu = m.group(1), False
+        else:
+            if re.search(r"\b(dot|convolution)\(", line):
+                mxu = True
+            if line.startswith("}") or line.strip() == "}":
+                has_mxu[cur] = mxu
+                cur = None
+    matmul = set()
+    for m in re.finditer(
+        r"%([\w.-]+)\s*=\s*[^\n]*\bfusion\([^\n]*calls=%?([\w.-]+)", hlo_text
+    ):
+        if has_mxu.get(m.group(2)):
+            matmul.add(m.group(1))
+    return matmul
+
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "f16": 2, "bf16": 2, "s16": 2, "u16": 2,
+    "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8, "u64": 8,
+}
+
+
+def bytes_in_event_text(name: str) -> int:
+    """Approximate HBM bytes an op moves: sum of every tensor shape that
+    appears in the event's HLO text (output tuple + operand list). Upper
+    bound-ish — an operand repeated in the text counts twice — but good
+    enough to rank fusions against the HBM roofline."""
+    total = 0
+    for dt, dims in re.findall(r"\b(pred|[fsu]\d+|bf16)\[([\d,]*)\]", name):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES.get(dt, 4)
+    return total
+
+
+def roofline(trace_dir: str, top: int = 30, line_name: str = "XLA Ops",
+             hbm_gbps: float = 819.0):
+    """Achieved-bandwidth table for the top non-matmul ops: is the remaining
+    (non-MXU) device time already at the HBM roofline, or is there headroom
+    XLA's codegen leaves behind?"""
+    results = breakdown(trace_dir, top=0, line_name=line_name)
+    import json
+
+    sidecar = os.path.join(trace_dir, "matmul_fusions.json")
+    matmul = set()
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            matmul = set(json.load(f))
+    for r in results:
+        rows = []
+        for name, ms in r["per_op"].items():
+            base = name.lstrip("%").split(" ", 1)[0]
+            if base in matmul or re.search(r"\bdot\(|convolution\(", name):
+                continue
+            b = bytes_in_event_text(name)
+            if b == 0 or ms <= 0:
+                continue
+            rows.append((ms, b, name))
+        rows.sort(reverse=True)
+        print(f"\n=== roofline (non-matmul), plane {r['plane']}, "
+              f"HBM peak {hbm_gbps:.0f} GB/s ===")
+        print(f"{'ms':>9} {'MB':>9} {'GB/s':>8} {'%peak':>6}  op")
+        tot_ms = tot_b = 0.0
+        for ms, b, name in rows[:top]:
+            gbps = b / 1e9 / (ms / 1e3)
+            print(f"{ms:9.2f} {b / 1e6:9.1f} {gbps:8.0f} "
+                  f"{100 * gbps / hbm_gbps:5.0f}%  {name[:95]}")
+        for ms, b, _ in rows:
+            tot_ms += ms
+            tot_b += b
+        if tot_ms:
+            agg = tot_b / 1e9 / (tot_ms / 1e3)
+            print(f"-- all {len(rows)} non-matmul ops: {tot_ms:.1f} ms, "
+                  f"{tot_b / 1e6:.0f} MB -> {agg:.0f} GB/s aggregate "
+                  f"({100 * agg / hbm_gbps:.0f}% of HBM peak)")
+    return results
 
 
 def load_xplanes(trace_dir: str):
@@ -83,6 +185,13 @@ def load_xplanes(trace_dir: str):
 
 def breakdown(trace_dir: str, top: int = 25, line_name: str = "XLA Ops"):
     space, path = load_xplanes(trace_dir)
+    matmul_fusions = None
+    sidecar = os.path.join(trace_dir, "matmul_fusions.json")
+    if os.path.exists(sidecar):
+        import json
+
+        with open(sidecar) as f:
+            matmul_fusions = set(json.load(f))
     # prefer a real device plane; fall back to host XLA (CPU-only smoke runs)
     planes = [p for p in space.planes if "TPU" in p.name or "/device:" in p.name]
     if not planes:
@@ -98,8 +207,13 @@ def breakdown(trace_dir: str, top: int = 25, line_name: str = "XLA Ops"):
                 continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                # async *-start spans cover the whole wait window — skip
-                if name.endswith("-start"):
+                # async *-start spans cover the whole wait window — skip.
+                # Event names may be bare ('all-reduce-start') or full HLO
+                # text ('%copy-start.1059 = (bf16[...]) copy-start(...)'):
+                # extract the op name and strip the '.NNN' id before testing.
+                base = name.lstrip("%").split(" ", 1)[0]
+                base = re.sub(r"\.\d+$", "", base)
+                if base.endswith("-start"):
                     continue
                 dur = ev.duration_ps / 1e9  # ps -> ms
                 per_op[name] += dur
@@ -112,7 +226,7 @@ def breakdown(trace_dir: str, top: int = 25, line_name: str = "XLA Ops"):
             continue
         per_cat = collections.Counter()
         for name, ms in per_op.items():
-            per_cat[categorize(name)] += ms
+            per_cat[categorize(name, matmul_fusions)] += ms
         results.append(dict(
             plane=plane.name, per_op=per_op, per_cat=per_cat,
             busy_ms=sum(per_op.values()), n_events=n_events,
@@ -152,18 +266,39 @@ def capture(trace_dir: str, steps: int = 3):
     from ofasys_tpu.engine.optim import build_optimizer
     from ofasys_tpu.engine.train_step import TrainState, make_multitask_train_step
 
+    from ofasys_tpu.engine.criterion.diffusion_loss import (
+        DiffusionCriterion,
+        DiffusionCriterionConfig,
+    )
+
     crit = LabelSmoothedCrossEntropyCriterion(
         LabelSmoothedCrossEntropyCriterionConfig(), pad_id=d.pad())
+    diff_crit = DiffusionCriterion(DiffusionCriterionConfig(), pad_id=d.pad())
     optimizer = build_optimizer(
         OptimizationConfig(lr=(1e-4,), warmup_updates=100), total_num_update=10000)
     params = model.init_params(
         jax.random.PRNGKey(0), [b["net_input"]["slots"] for b in batches.values()])
     state = TrainState.create(params, optimizer)
     step = jax.jit(
-        make_multitask_train_step(model, {n: crit for n in batches}, optimizer),
+        make_multitask_train_step(
+            model,
+            {n: (diff_crit if n == "motion_t2m" else crit) for n in batches},
+            optimizer,
+        ),
         donate_argnums=(0,),
     )
     rng = jax.random.PRNGKey(1)
+    # classify matmul-bearing fusions from the optimized HLO so breakdown
+    # can split 'fusion: matmul/conv' from 'fusion: bandwidth' — written
+    # BEFORE the first execute (donation invalidates the input buffers)
+    import json
+
+    compiled = step.lower(state, batches, rng).compile()
+    matmul = classify_fusions_from_hlo(compiled.as_text())
+    os.makedirs(trace_dir, exist_ok=True)
+    with open(os.path.join(trace_dir, "matmul_fusions.json"), "w") as f:
+        json.dump(sorted(matmul), f)
+    print(f"{len(matmul)} matmul/conv-bearing fusions classified from HLO")
     state, metrics = step(state, batches, rng)   # compile outside the trace
     _ = float(metrics["gnorm"])
     with jax.profiler.trace(trace_dir):
@@ -183,10 +318,15 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--line", default="XLA Ops",
                     help="plane line to aggregate (default 'XLA Ops')")
+    ap.add_argument("--roofline", action="store_true",
+                    help="achieved-bandwidth table for the non-matmul ops")
     args = ap.parse_args()
     if args.capture:
         capture(args.trace_dir, steps=args.steps)
-    breakdown(args.trace_dir, top=args.top, line_name=args.line)
+    if args.roofline:
+        roofline(args.trace_dir, top=args.top, line_name=args.line)
+    else:
+        breakdown(args.trace_dir, top=args.top, line_name=args.line)
 
 
 if __name__ == "__main__":
