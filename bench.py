@@ -107,6 +107,8 @@ def build_model_and_batches():
         model.cfg.fuse_qkv = os.environ["BENCH_FUSE"] == "1"
     if os.environ.get("BENCH_LAYOUT"):       # A/B: bthd | bhtd (attn layout)
         model.cfg.attn_layout = os.environ["BENCH_LAYOUT"]
+    if os.environ.get("BENCH_AKERN"):        # A/B: auto | xla | pallas
+        model.cfg.attn_kernel = os.environ["BENCH_AKERN"]
     if os.environ.get("BENCH_FLASH"):        # A/B: 1 | 0 (Pallas flash attn)
         model.cfg.use_flash_attention = os.environ["BENCH_FLASH"] == "1"
     model.initialize(

@@ -104,6 +104,17 @@ class GeneralistModelConfig(BaseDataclass):
     #            B=1 serving encoders measured ~2-3ms slower transposed.
     # Numerically identical (same contractions, same accumulation dtype).
     attn_layout: str = "bhtd"
+    # short-sequence fused attention (ops/pallas_dense_attention.py): whole-T
+    # Pallas kernel with rank-4 (B,T,H,D) IO — scores never round-trip HBM,
+    # no XLA layout copies around the score matmuls, one fused backward
+    # producing dq/dk/dv + batch-accumulated dbias.
+    #   'auto'   — use it on TPU when gates pass (training-shape calls,
+    #              dropout 0, batch-shared bias, padding-only masks);
+    #              XLA dense path otherwise
+    #   'xla'    — never (the previous behavior)
+    #   'pallas' — same gates as auto but also in interpret mode off-TPU
+    #              (tests)
+    attn_kernel: str = "auto"
     remat: str = "none"                # 'none' | 'full' | 'dots' — per-layer jax.checkpoint
                                        # ('dots' saves matmul results only; elementwise
                                        # chains recompute in the backward)

@@ -110,6 +110,65 @@ def get_activation_fn(name: str) -> Callable:
     raise ValueError(f"unknown activation {name!r}")
 
 
+def _make_bias_gather(bucket_np: np.ndarray, n_buckets: int, dtype):
+    """All-layers bias gather with a GEMM-based backward.
+
+    Forward: ONE gather ``tables[:, bucket]`` for the whole stack (the
+    per-layer gathers cannot be CSE'd — each layer indexes a different
+    table — so gathering stacked is itself a dedup win). Backward: instead
+    of XLA's per-element scatter-add into the (n_buckets, H) tables (an
+    xplane profile showed six ~1 ms scatter fusions per update running at
+    ~3 GB/s — 0% of HBM peak), contract the bias cotangent against a
+    one-hot bucket matrix on the MXU and scatter only the ~hundreds of
+    COMPACT (actually-used) bucket rows back.
+    """
+    used, inv = np.unique(bucket_np, return_inverse=True)
+    Tq, Tk = bucket_np.shape
+    nbu = int(used.size)
+
+    @jax.custom_vjp
+    def gather(tables):                                  # (L, nb, H)
+        rel = tables[:, jnp.asarray(bucket_np)]          # (L, Tq, Tk, H)
+        return jnp.transpose(rel, (0, 3, 1, 2))          # (L, H, Tq, Tk)
+
+    def fwd(tables):
+        rel = tables[:, jnp.asarray(bucket_np)]
+        return jnp.transpose(rel, (0, 3, 1, 2)), None
+
+    def bwd(_, g):                                       # g (L, H, Tq, Tk)
+        L, H = g.shape[:2]
+        g2 = g.reshape(L * H, Tq * Tk)
+        onehot = (
+            jnp.asarray(inv.reshape(-1).astype(np.int32))[:, None]
+            == jnp.arange(nbu, dtype=jnp.int32)[None, :]
+        )                                                # (Tq*Tk, nbu) exact 0/1
+        dused = jax.lax.dot_general(
+            g2.astype(jnp.bfloat16), onehot.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(L, H, nbu)
+        dt = jnp.zeros((L, n_buckets, H), dtype).at[:, jnp.asarray(used)].add(
+            jnp.transpose(dused, (0, 2, 1)).astype(dtype)
+        )
+        return (dt,)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def gather_all_biases(tables: jax.Array, bucket: np.ndarray) -> jax.Array:
+    """(n_tables, n_buckets, H) tables + static (Tq, Tk) bucket ->
+    (n_tables, H, Tq, Tk), one gather for the whole layer stack.
+
+    On TPU the backward runs as a one-hot GEMM (see _make_bias_gather);
+    on CPU plain autodiff keeps exact scatter-add numerics for the
+    parity suite (the GEMM rounds the cotangent to bf16)."""
+    bucket_np = np.asarray(bucket)
+    if jax.default_backend() in ("tpu", "axon"):
+        return _make_bias_gather(bucket_np, tables.shape[1], tables.dtype)(tables)
+    rel = tables[:, jnp.asarray(bucket_np)]
+    return jnp.transpose(rel, (0, 3, 1, 2))
+
+
 @dataclasses.dataclass(frozen=True)
 class BiasSpec:
     """Lazy self-attention bias: per-layer relative tables + shared absolute
@@ -126,15 +185,29 @@ class BiasSpec:
     tables: Optional[jax.Array] = None
     abs_bias: Optional[jax.Array] = None
 
+    def stacked(self) -> Optional[jax.Array]:
+        """(n_tables, H, Tq, Tk) relative biases for every layer, gathered
+        ONCE per trace (cached on the instance — BiasSpec lives inside one
+        forward trace). Training/eval paths route through this; incremental
+        decoding keeps the O(rows) layer_bias_rows gather."""
+        if self.tables is None or self.bucket is None:
+            return None
+        cached = getattr(self, "_stacked_cache", None)
+        if cached is None:
+            cached = gather_all_biases(self.tables, self.bucket)
+            object.__setattr__(self, "_stacked_cache", cached)
+        return cached
+
     def layer_bias(self, layer_idx: int, rows: Optional[slice] = None) -> Optional[jax.Array]:
         """Additive bias for one layer, shape (B|1, H, Tq, Tk). ``rows``
         selects query rows for incremental decoding."""
         out = None
-        if self.tables is not None and self.bucket is not None:
-            n_tables = self.tables.shape[0]
-            bucket = self.bucket if rows is None else self.bucket[rows]
-            rel = self.tables[min(layer_idx, n_tables - 1)][jnp.asarray(bucket)]
-            out = jnp.transpose(rel, (2, 0, 1))[None]  # (1, H, Tq, Tk)
+        st = self.stacked()
+        if st is not None:
+            sel = st[min(layer_idx, st.shape[0] - 1)]
+            if rows is not None:
+                sel = sel[:, rows]
+            out = sel[None]                        # (1, H, Tq, Tk)
         if self.abs_bias is not None:
             ab = self.abs_bias if rows is None else self.abs_bias[:, :, rows]
             out = ab if out is None else out + ab
@@ -191,6 +264,9 @@ class MultiheadAttention(nn.Module):
     # change fuses into the GEMM epilogues instead of XLA inserting copy
     # passes around the score matmuls
     attn_layout: str = "bthd"
+    # cfg.attn_kernel: 'auto' | 'xla' | 'pallas' — short-sequence fused
+    # Pallas attention on training-shape calls (see model/config.py)
+    attn_kernel: str = "auto"
 
     @nn.compact
     def __call__(
@@ -326,32 +402,61 @@ class MultiheadAttention(nn.Module):
                 q, k, v, bias=bias, mask=mask, scale=scaling, causal=causal
             ).astype(self.dtype)
         else:
-            eff_mask = mask
-            if causal:
-                from ofasys_tpu.ops.attention import causal_mask as _cm
-
-                cm = _cm(Tq_, Tk_)
-                eff_mask = cm if eff_mask is None else jnp.logical_and(eff_mask, cm)
-            # gate on batch*rows (static at trace time): training-sized
-            # calls win ~2% from GEMM-fused transposes; tiny serving shapes
-            # (B=1 encoder inside a decode program) measured ~2-3ms SLOWER
-            # with them, so they keep the plain layout
-            bhtd = (self.attn_layout == "bhtd" and cache is None
-                    and B * Tq_ >= 256)
-            if bhtd:
-                q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-            x = dot_product_attention(
-                q, k, v,
-                bias=bias, mask=eff_mask, scale=scaling,
-                dropout_rate=dropout, dropout_rng=dropout_rng,
-                dtype=self.dtype,
-                logits_dtype=self.dtype if self.logits_compute else None,
-                layout="bhtd" if bhtd else "bthd",
+            # short-sequence fused kernel (ops/pallas_dense_attention.py):
+            # training-shape calls with batch-shared bias and padding-only
+            # masks run one whole-T Pallas program per (b, h) — no score
+            # HBM round-trip, no XLA layout copies around the score matmuls
+            from ofasys_tpu.ops.pallas_dense_attention import (
+                dense_attention, dense_supported,
             )
-            if bhtd:
-                # restore (B,T,H,D) for the epilogue (and the observer branch)
-                q, k = q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3)
-                x = x.transpose(0, 2, 1, 3)
+
+            bhtd = False
+            dense_ok = (
+                self.attn_kernel in ("auto", "pallas")
+                and cache is None
+                and (jax.default_backend() in ("tpu", "axon")
+                     or self.attn_kernel == "pallas")
+                and dense_supported(B, Tq_, Tk_, head_dim, self.num_heads, dropout)
+                and (bias is None
+                     or (bias.ndim == 4 and bias.shape[0] == 1
+                         and bias.shape[2] == Tq_ and bias.shape[3] == Tk_))
+                and (mask is None
+                     or (mask.ndim == 4 and mask.shape[0] in (1, B)
+                         and mask.shape[1] == 1 and mask.shape[2] == 1
+                         and mask.shape[3] == Tk_))
+            )
+            if dense_ok:
+                x = dense_attention(
+                    q, k, v, bias=bias, mask=mask, scale=scaling, causal=causal
+                ).astype(self.dtype)
+            else:
+                eff_mask = mask
+                if causal:
+                    from ofasys_tpu.ops.attention import causal_mask as _cm
+
+                    cm = _cm(Tq_, Tk_)
+                    eff_mask = cm if eff_mask is None else jnp.logical_and(eff_mask, cm)
+                # gate on batch*rows (static at trace time): training-sized
+                # calls win ~2% from GEMM-fused transposes; tiny serving
+                # shapes (B=1 encoder inside a decode program) measured
+                # ~2-3ms SLOWER with them, so they keep the plain layout
+                bhtd = (self.attn_layout == "bhtd" and cache is None
+                        and B * Tq_ >= 256)
+                if bhtd:
+                    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+                x = dot_product_attention(
+                    q, k, v,
+                    bias=bias, mask=eff_mask, scale=scaling,
+                    dropout_rate=dropout, dropout_rng=dropout_rng,
+                    dtype=self.dtype,
+                    logits_dtype=self.dtype if self.logits_compute else None,
+                    layout="bhtd" if bhtd else "bthd",
+                )
+                if bhtd:
+                    # restore (B,T,H,D) for the epilogue (and the observer
+                    # branch)
+                    q, k = q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3)
+                    x = x.transpose(0, 2, 1, 3)
         if self.is_mutable_collection("intermediates"):
             # observers (guided-attention loss) request probabilities by
             # making 'intermediates' mutable; this branch never traces in
@@ -544,6 +649,7 @@ class TransformerEncoderLayer(nn.Module):
             logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
             fuse_qkv=getattr(cfg, "fuse_qkv", True),
             attn_layout=getattr(cfg, "attn_layout", "bthd"),
+            attn_kernel=getattr(cfg, "attn_kernel", "auto"),
         )(h, bias=bias, mask=mask, use_flash=cfg.use_flash_attention,
           deterministic=deterministic)
         if cfg.scale_attn:
@@ -617,6 +723,7 @@ class TransformerDecoderLayer(nn.Module):
             logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
             fuse_qkv=getattr(cfg, "fuse_qkv", True),
             attn_layout=getattr(cfg, "attn_layout", "bthd"),
+            attn_kernel=getattr(cfg, "attn_kernel", "auto"),
         )(h, bias=self_bias, mask=self_mask, causal=(cache is None and not full_context),
           use_flash=cfg.use_flash_attention, deterministic=deterministic,
           cache=None if cache is None else cache["self"])
@@ -641,6 +748,7 @@ class TransformerDecoderLayer(nn.Module):
                 logits_compute=getattr(cfg, "attn_logits", "fp32") == "compute",
             fuse_qkv=getattr(cfg, "fuse_qkv", True),
             attn_layout=getattr(cfg, "attn_layout", "bthd"),
+            attn_kernel=getattr(cfg, "attn_kernel", "auto"),
             )(h, encoder_out, bias=cross_bias, mask=cross_mask,
               use_flash=cfg.use_flash_attention, deterministic=deterministic,
               cache=None if cache is None else cache.get("cross"), static_kv=True)
@@ -672,15 +780,16 @@ class TransformerDecoderLayer(nn.Module):
 
 
 
-def _traced_layer_bias(tables, bucket, abs_bias, i):
+def _traced_layer_bias(stacked, abs_bias, i):
     """BiasSpec.layer_bias with a TRACED layer index (scan-over-layers path):
-    gather one layer's relative-position bias inside the scan body instead of
-    pre-stacking (L, H, T, T) biases."""
+    dynamic-index one layer's slice out of the pre-stacked (L, H, Tq, Tk)
+    biases (gathered once outside the scan — see BiasSpec.stacked)."""
     out = None
-    if tables is not None and bucket is not None:
-        n_tables = tables.shape[0]
-        rel = tables[jnp.minimum(i, n_tables - 1)][bucket]   # (Tq, Tk, H)
-        out = jnp.transpose(rel, (2, 0, 1))[None]            # (1, H, Tq, Tk)
+    if stacked is not None:
+        sel = jax.lax.dynamic_index_in_dim(
+            stacked, jnp.minimum(i, stacked.shape[0] - 1), 0, keepdims=False
+        )
+        out = sel[None]                                      # (1, H, Tq, Tk)
     if abs_bias is not None:
         out = abs_bias if out is None else out + abs_bias
     return out
@@ -698,9 +807,9 @@ class _EncoderScanBody(nn.Module):
     mesh: Any = None
 
     @nn.compact
-    def __call__(self, x, xs, attn_mask, tables, bucket, abs_bias):
+    def __call__(self, x, xs, attn_mask, stacked_bias, abs_bias):
         i, dpr = xs
-        bias = _traced_layer_bias(tables, bucket, abs_bias, i)
+        bias = _traced_layer_bias(stacked_bias, abs_bias, i)
         layer_cls = _maybe_remat(TransformerEncoderLayer, self.cfg, (4, 5))
         layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, mesh=self.mesh, name="layer")
         x = layer(x, attn_mask, bias, self.deterministic, self.modal_spans, dpr)
@@ -720,9 +829,9 @@ class _DecoderScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, x, xs, encoder_out, self_mask, cross_mask, cross_bias,
-                 tables, bucket, abs_bias):
+                 stacked_bias, abs_bias):
         i, dpr = xs
-        self_bias = _traced_layer_bias(tables, bucket, abs_bias, i)
+        self_bias = _traced_layer_bias(stacked_bias, abs_bias, i)
         layer_cls = _maybe_remat(TransformerDecoderLayer, self.cfg, (7, 9, 10))
         layer = layer_cls(self.cfg, 0.0, dtype=self.dtype, mesh=self.mesh, name="layer")
         x, _ = layer(x, encoder_out, self_mask, self_bias, cross_mask, cross_bias,
@@ -763,9 +872,7 @@ class TransformerEncoder(nn.Module):
                     "pipeline_stages > 1 requires the device mesh: "
                     "model.initialize(..., mesh=mesh)"
                 )
-            tables = bias_spec.tables if bias_spec is not None else None
-            bucket = (jnp.asarray(bias_spec.bucket)
-                      if bias_spec is not None and bias_spec.bucket is not None else None)
+            stacked_bias = bias_spec.stacked() if bias_spec is not None else None
             abs_bias = bias_spec.abs_bias if bias_spec is not None else None
             stacked = self.variables["params"]["layers_scan"]["layer"]
             layer_mod = TransformerEncoderLayer(cfg, 0.0, dtype=self.dtype)
@@ -775,8 +882,8 @@ class TransformerEncoder(nn.Module):
             spans = modal_spans
 
             def layer_apply(lp, gi, m, x_mb, mm, bcast):
-                tb, bk, ab, dpr_a, key = bcast
-                bias = _traced_layer_bias(tb, bk, ab, gi)
+                sb, ab, dpr_a, key = bcast
+                bias = _traced_layer_bias(sb, ab, gi)
                 rngs = None
                 if key is not None:
                     rngs = {"dropout": jax.random.fold_in(jax.random.fold_in(key, gi), m)}
@@ -792,24 +899,22 @@ class TransformerEncoder(nn.Module):
             x = pipeline_stack(
                 self.mesh, layer_apply, stacked, x,
                 micro_args=attn_mask,
-                bcast_args=(tables, bucket, abs_bias, dpr_arr, rng),
+                bcast_args=(stacked_bias, abs_bias, dpr_arr, rng),
                 n_micro=cfg.pipeline_microbatches or cfg.pipeline_stages,
             )
         elif cfg.scan_layers:
-            tables = bias_spec.tables if bias_spec is not None else None
-            bucket = (jnp.asarray(bias_spec.bucket)
-                      if bias_spec is not None and bias_spec.bucket is not None else None)
+            stacked_bias = bias_spec.stacked() if bias_spec is not None else None
             abs_bias = bias_spec.abs_bias if bias_spec is not None else None
             scan = nn.scan(
                 _EncoderScanBody,
                 variable_axes={"params": 0, "qkern": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=n_layers,
             )(cfg, deterministic, modal_spans, dtype=self.dtype,
               mesh=self.mesh, name="layers_scan")
             xs = (jnp.arange(n_layers), jnp.asarray(dpr, jnp.float32))
-            x, _ = scan(x, xs, attn_mask, tables, bucket, abs_bias)
+            x, _ = scan(x, xs, attn_mask, stacked_bias, abs_bias)
         else:
             # deterministic and modal_spans are static python values
             layer_cls = _maybe_remat(TransformerEncoderLayer, cfg, (4, 5))
@@ -892,9 +997,7 @@ class TransformerDecoder(nn.Module):
                     "model.initialize(..., mesh=mesh)"
                 )
             spec = self_bias_spec
-            tables = spec.tables if spec is not None else None
-            bucket = (jnp.asarray(spec.bucket)
-                      if spec is not None and spec.bucket is not None else None)
+            stacked_bias = spec.stacked() if spec is not None else None
             abs_bias = spec.abs_bias if spec is not None else None
             stacked = self.variables["params"]["layers_scan"]["layer"]
             layer_mod = TransformerDecoderLayer(cfg, 0.0, dtype=self.dtype)
@@ -914,9 +1017,9 @@ class TransformerDecoder(nn.Module):
                     (micro if v.shape[0] == B else shared)[k] = v
 
             def layer_apply(lp, gi, m, x_mb, mm, bcast):
-                tb, bk, ab, dpr_a, key, sh = bcast
+                sb, ab, dpr_a, key, sh = bcast
                 a = {**sh, **mm}
-                self_bias = _traced_layer_bias(tb, bk, ab, gi)
+                self_bias = _traced_layer_bias(sb, ab, gi)
                 rngs = None
                 if key is not None:
                     rngs = {"dropout": jax.random.fold_in(jax.random.fold_in(key, gi), m)}
@@ -934,26 +1037,24 @@ class TransformerDecoder(nn.Module):
             x = pipeline_stack(
                 self.mesh, layer_apply, stacked, x,
                 micro_args=micro,
-                bcast_args=(tables, bucket, abs_bias, dpr_arr, rng, shared),
+                bcast_args=(stacked_bias, abs_bias, dpr_arr, rng, shared),
                 n_micro=cfg.pipeline_microbatches or cfg.pipeline_stages,
             )
         elif cfg.scan_layers and cache is None:
             spec = self_bias_spec
-            tables = spec.tables if spec is not None else None
-            bucket = (jnp.asarray(spec.bucket)
-                      if spec is not None and spec.bucket is not None else None)
+            stacked_bias = spec.stacked() if spec is not None else None
             abs_bias = spec.abs_bias if spec is not None else None
             scan = nn.scan(
                 _DecoderScanBody,
                 variable_axes={"params": 0, "qkern": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0,) + (nn.broadcast,) * 7,
+                in_axes=(0,) + (nn.broadcast,) * 6,
                 length=n_layers,
             )(cfg, deterministic, modal_spans, full_context, dtype=self.dtype,
               mesh=self.mesh, name="layers_scan")
             xs = (jnp.arange(n_layers), jnp.asarray(dpr, jnp.float32))
             x, _ = scan(x, xs, encoder_out, self_mask, cross_mask, cross_bias,
-                        tables, bucket, abs_bias)
+                        stacked_bias, abs_bias)
         elif cfg.scan_layers:
             # incremental decode with scan-trained (stacked) params: unroll
             # the per-step layer loop (as the loop path does) but slice each

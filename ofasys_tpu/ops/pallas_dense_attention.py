@@ -1,0 +1,390 @@
+"""Pallas TPU fused attention for SHORT sequences (whole-T blocks).
+
+The multi-task training mix runs attention at T = 8..256 — far below the
+regime where blocked/online-softmax flash attention pays off (measured
+0.79x vs XLA at T=196 fwd+bwd; ops/pallas_attention.py:830-848). Yet the
+XLA dense path is not free either: a round-3 xplane profile of the 5-task
+bench showed ~24.7 ms of a 189 ms update touching (B,H,Tq,Tk) score
+tensors, of which only ~2 ms is MXU work — the rest is softmax/mask/bias
+fusions plus ~10 ms of layout-change copies XLA inserts around the score
+matmuls and the (B,T,H,D)<->(B,H,T,D) transposes whose backward never
+fuses into the projection GEMMs.
+
+This kernel removes both costs for short T, where whole (Tq, Tk) score
+matrices fit comfortably in VMEM (~16 MB/core):
+
+  * rank-3 (B, T, E) IO — the projection GEMMs' natural output layout —
+    so XLA inserts no transposes anywhere around the call; heads are
+    split INSIDE the kernel by static 64-lane slices (Mosaic lowers
+    these to register shuffles, not memory traffic).
+  * grid (B,): one program computes every head of one sample end to end —
+    plain softmax, no online rescaling, scores never touch HBM in either
+    direction. The shared bias block (H, Tq, Tk) has a constant index
+    map, so it is DMA'd once and stays VMEM-resident across the batch.
+  * ONE fused backward kernel producing dq, dk, dv and the
+    batch-accumulated shared-bias gradient in a single pass (one score
+    recompute) — the generic flash backward needs three kernels (dq,
+    dkv, dbias) and three recomputes, which is exactly why it lost at
+    short T.
+
+Replaces the reference's fused CUDA scaled-masked-softmax
+(ofasys/module/fused_kernels/scaled_masked_softmax*.cu) for the shapes its
+training actually uses (max_positions 1024, typical slots 8..256 tokens).
+
+Conventions match ops/attention.dot_product_attention:
+  q (B, Tq, H, D) - k/v (B, Tk, H, D) - bias additive (1, H, Tq, Tk),
+  shared across batch (dbias sums over B) - mask bool/int8 (B, 1, 1, Tk)
+  keep-mask - softmax math fp32; p and the MXU operands bf16 (the
+  attn_logits='compute' policy the XLA path defaults to).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e9
+
+# kernel applies above this many score elements per (b, h); flash attention
+# (tiled, online softmax) covers T >= 256 — see dense_supported
+MAX_T = 256
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _scores(q, k, h, D, scale, bias_ref, mask_ref, causal):
+    """fp32 (Tq, Tk) logits for head h from (T, E) blocks."""
+    Tq, Tk = q.shape[0], k.shape[0]
+    sl = slice(h * D, (h + 1) * D)
+    s = jax.lax.dot_general(
+        q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[h].astype(jnp.float32)
+    if mask_ref is not None:
+        # mask_ref is the loaded (1, Tk) row — keep it rank-2 (Mosaic
+        # rejects rank-1 vector layouts) and broadcast over query rows
+        s = jnp.where(mask_ref != 0, s, MASK_VALUE)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
+        s = jnp.where(cols <= rows + (Tk - Tq), s, MASK_VALUE)
+    return s
+
+
+# ------------------------------------------------------------------ forward
+def _fwd_kernel(*refs, has_bias, has_mask, scale, causal, H, D, out_dtype):
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    bias_ref = refs[i] if has_bias else None
+    i += has_bias
+    mask_ref = refs[i][0] if has_mask else None
+    i += has_mask
+    o_ref, lse_ref = refs[i], refs[i + 1]
+
+    q = q_ref[0]                                 # (Tq, E) storage dtype
+    k = k_ref[0]                                 # (Tk, E)
+    v = v_ref[0]
+    for h in range(H):                           # static loop, static slices
+        s = _scores(q, k, h, D, scale, bias_ref, mask_ref, causal)
+        m = jnp.max(s, axis=1, keepdims=True)    # (Tq, 1)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        sl = slice(h * D, (h + 1) * D)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # (Tq, D) fp32
+        o_ref[0, :, sl] = (acc / l).astype(out_dtype)
+        lse_ref[0, h] = m + jnp.log(l)           # (Tq, 1)
+
+
+# ----------------------------------------------------------------- backward
+def _bwd_kernel(*refs, has_bias, has_mask, scale, causal, H, D, n_b):
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    do_ref = refs[i]; i += 1
+    lse_ref = refs[i]; i += 1
+    bias_ref = refs[i] if has_bias else None
+    i += has_bias
+    mask_ref = refs[i][0] if has_mask else None
+    i += has_mask
+    dq_ref, dk_ref, dv_ref = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    dbias_ref = refs[i] if has_bias else None
+    i += has_bias
+    dbias_scr = refs[i] if has_bias else None
+
+    b = pl.program_id(0)
+    q = q_ref[0]                                 # (Tq, E)
+    k = k_ref[0]                                 # (Tk, E)
+    v = v_ref[0]
+    do = do_ref[0]                               # (Tq, E)
+    in_dtype = q.dtype
+
+    if dbias_scr is not None:
+        @pl.when(b == 0)
+        def _init():
+            dbias_scr[:] = jnp.zeros_like(dbias_scr)
+
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        s = _scores(q, k, h, D, scale, bias_ref, mask_ref, causal)
+        p = jnp.exp(s - lse_ref[0, h])           # (Tq, Tk) fp32, rows sum 1
+        pb = p.astype(in_dtype)
+        doh = do[:, sl]                          # (Tq, D)
+        # dv = p^T @ do
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pb, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        # dp = do @ v^T ; softmax bwd: ds = p * (dp - rowsum(dp * p))
+        dp = jax.lax.dot_general(
+            doh, v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dd = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = p * (dp - dd)                       # (Tq, Tk) fp32, pre-scale
+        if dbias_scr is not None:
+            dbias_scr[h] += ds
+        dsb = (ds * scale).astype(in_dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            dsb, k[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dsb, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+    if dbias_ref is not None:
+        @pl.when(b == n_b - 1)
+        def _flush():
+            dbias_ref[...] = dbias_scr[...].astype(dbias_ref.dtype)
+
+
+def _backward(q, k, v, bias, mask, lse, do, scale, causal, H):
+    B, Tq, E = q.shape
+    Tk = k.shape[1]
+    D = E // H
+    spec = lambda T: pl.BlockSpec((1, T, E), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [spec(Tq), spec(Tk), spec(Tk), spec(Tq),
+                pl.BlockSpec((1, H, Tq, 1), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [q, k, v, do, lse]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((H, Tq, Tk), lambda b: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Tk), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    out_specs = [spec(Tq), spec(Tk), spec(Tk)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Tq, E), q.dtype),
+        jax.ShapeDtypeStruct((B, Tk, E), k.dtype),
+        jax.ShapeDtypeStruct((B, Tk, E), v.dtype),
+    ]
+    scratch = []
+    if bias is not None:
+        # batch-accumulated shared-bias gradient: the (B,) grid runs b
+        # sequentially, the dbias output block has a constant index map, and
+        # a VMEM scratch carries the running sum — (H, Tq, Tk) HBM, never
+        # the B-times larger per-batch intermediate (same pattern as the
+        # flash dbias kernel, ops/pallas_attention.py:379-431)
+        out_specs.append(pl.BlockSpec((H, Tq, Tk), lambda b: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((H, Tq, Tk), jnp.float32))
+        scratch.append(pltpu.VMEM((H, Tq, Tk), jnp.float32))
+    kernel = functools.partial(
+        _bwd_kernel, has_bias=bias is not None, has_mask=mask is not None,
+        scale=scale, causal=causal, H=H, D=D, n_b=B,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * Tq * Tk * E,
+            bytes_accessed=4 * B * (Tq + 2 * Tk) * E,
+            transcendentals=B * H * Tq * Tk,
+        ),
+    )(*args)
+    if bias is not None:
+        dq, dk, dv, dbias = outs
+    else:
+        dq, dk, dv = outs
+        dbias = None
+    return dq, dk, dv, dbias
+
+
+# -------------------------------------------------------------- custom vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _dense_attention(q, k, v, bias, mask, scale, causal, H):
+    out, _ = _fwd_call(q, k, v, bias, mask, scale, causal, H)
+    return out
+
+
+def _fwd_call(q, k, v, bias, mask, scale, causal, H):
+    B, Tq, E = q.shape
+    Tk = k.shape[1]
+    in_specs = [
+        pl.BlockSpec((1, Tq, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tk, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tk, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((H, Tq, Tk), lambda b: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Tk), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    kernel = functools.partial(
+        _fwd_kernel, has_bias=bias is not None, has_mask=mask is not None,
+        scale=scale, causal=causal, H=H, D=E // H, out_dtype=q.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, Tq, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Tq, 1), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tq, E), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Tq * Tk * E,
+            bytes_accessed=2 * B * (Tq + 2 * Tk) * E,
+            transcendentals=B * H * Tq * Tk,
+        ),
+    )(*args)
+
+
+def _vjp_fwd(q, k, v, bias, mask, scale, causal, H):
+    out, lse = _fwd_call(q, k, v, bias, mask, scale, causal, H)
+    return out, (q, k, v, bias, mask, lse)
+
+
+def _vjp_bwd(scale, causal, H, residuals, g):
+    q, k, v, bias, mask, lse = residuals
+    if os.environ.get("OFASYS_DENSE_XLA_BWD") == "1":
+        # debugging fallback: gradients through an XLA reference with
+        # identical softmax semantics
+        def f(q, k, v, bias):
+            return _xla_reference(q, k, v, bias, mask, scale, causal, H)
+
+        _, vjp = jax.vjp(f, q, k, v, bias)
+        dq, dk, dv, dbias = vjp(g)
+    else:
+        dq, dk, dv, dbias = _backward(q, k, v, bias, mask, lse, g, scale,
+                                      causal, H)
+    if bias is not None and dbias is not None:
+        dbias = dbias.astype(bias.dtype)
+    return dq, dk, dv, dbias, None
+
+
+_dense_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _xla_reference(q, k, v, bias, mask, scale, causal, H):
+    B, Tq, E = q.shape
+    Tk = k.shape[1]
+    D = E // H
+    qh = q.reshape(B, Tq, H, D)
+    kh = k.reshape(B, Tk, H, D)
+    vh = v.reshape(B, Tk, H, D)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                   kh.astype(jnp.float32)) * scale
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        s = jnp.where(mask[:, None] != 0, s, MASK_VALUE)
+    if causal:
+        i = jnp.arange(Tq)[:, None]
+        j = jnp.arange(Tk)[None, :]
+        s = jnp.where(j <= i + (Tk - Tq), s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), vh)
+    return o.reshape(B, Tq, E).astype(q.dtype)
+
+
+# ------------------------------------------------------------- public entry
+def dense_attention(
+    q: jax.Array,                       # (B, Tq, H, D)
+    k: jax.Array,                       # (B, Tk, H, D)
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,   # (1, H, Tq, Tk) additive, batch-shared
+    mask: Optional[jax.Array] = None,   # bool/int8 (B, 1, 1, Tk) keep-mask
+    scale: float = 1.0,
+    causal: bool = False,
+) -> jax.Array:
+    """Fused short-sequence attention; drop-in for
+    ops.attention.dot_product_attention on the no-dropout training path.
+
+    The (B, T, H, D) <-> (B, T, H*D) reshapes below are free (minor-dim
+    merge/split of a contiguous axis) — the kernel's IO really is the
+    projection GEMMs' output buffer."""
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    bf = None
+    if bias is not None:
+        if bias.ndim == 4:
+            if bias.shape[0] != 1:
+                raise ValueError("dense_attention bias must be batch-shared (1,H,Tq,Tk)")
+            bias = bias[0]
+        # bf16 bias halves its VMEM residency + one HBM read; matches the
+        # attn_logits='compute' storage policy
+        bf = bias.astype(jnp.bfloat16)
+    mf = None
+    if mask is not None:
+        m = mask.astype(jnp.int8)
+        m = jnp.broadcast_to(m, (B, 1, 1, Tk))
+        mf = m.reshape(B, 1, Tk)
+    out = _dense_attention(
+        q.reshape(B, Tq, H * D), k.reshape(B, Tk, H * D), v.reshape(B, Tk, H * D),
+        bf, mf, float(scale), bool(causal), H,
+    )
+    return out.reshape(B, Tq, H, D)
+
+
+def dense_supported(B: int, Tq: int, Tk: int, D: int, H: int,
+                    dropout_rate: float) -> bool:
+    """Gate: shapes where the whole-T kernel applies and is expected to beat
+    XLA. T is capped at MAX_T=256: above it flash attention takes over
+    (flash_supported), and the backward's (H, Tq, Tk) fp32 dbias scratch
+    stays small (12 heads x 256^2 x 4B ~ 3 MB). The VMEM working set per
+    program is q/k/v/o rows (T x E bf16) plus a few fp32 (Tq, Tk) score
+    temps — ~4 MB at the cap."""
+    if dropout_rate > 0.0:
+        return False
+    if Tq > MAX_T or Tk > MAX_T or D > 256 or H * D > 4096:
+        return False
+    # tiny dispatches (B=1 encoder inside a decode program) stay on XLA
+    return B * Tq >= 256
