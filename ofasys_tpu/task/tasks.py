@@ -10,6 +10,7 @@ the documented defaults and remain user-overridable via
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import re
 import string
 from typing import Any, Dict, Optional
@@ -372,7 +373,48 @@ _task("video_classify", "[VIDEO:video] what does the video describe? -> [TEXT:la
       metrics=("accuracy",), base=TraverseTask)
 _task("video_question_answering_generative",
       "[VIDEO:video] [TEXT:question] -> [TEXT:answer]", metrics=("accuracy",))
-_task("video_generation", "[TEXT:cap] -> [VIDEO:code,preprocess=image_vqgan]")
+
+
+@register_config("ofasys.task", "video_generation", TaskConfig)
+class VideoGenerationTask(Task):
+    """Conditional frame generation (reference task/video_generation.py:31-85):
+    pick a per-sample deterministic condition index, zero the source video's
+    frames from that index on, and set the target to the condition frame
+    itself — generated as VQGAN codes with constraint-range decoding (the
+    reference hashes the video path for the index and zeroes the normalized
+    tensor; here the raw frames are conditioned before the preprocessors run,
+    same training semantics)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        if not self.cfg.instruction.template:
+            self.cfg.instruction.template = (
+                "[VIDEO:video] -> [IMAGE:frame,preprocess=image_vqgan,adaptor=image_vqgan]"
+            )
+        if self.cfg.name == "default":
+            self.cfg.name = "video_generation"
+
+    def preprocess(self, data: Dict[str, Any], split: str) -> Optional[Dict[str, Any]]:
+        video = data.get("video")
+        if video is None:
+            return data
+        frames = np.asarray(video)                       # (T, H, W, C) float/uint8
+        if frames.ndim != 4:
+            return data
+        seed = int(hashlib.md5(
+            np.ascontiguousarray(frames[0]).tobytes()
+        ).hexdigest()[:8], 16)
+        idx = seed % frames.shape[0]
+        data["frame"] = frames[idx].copy()
+        cond = frames.copy()
+        cond[idx:] = 0
+        data["video"] = cond
+        return data
+
+    def build_generator(self, model, **overrides):
+        pre = self.general_preprocess.name2pre["image_vqgan"]
+        overrides.setdefault("constraint_range", f"({pre.constraint_range})")
+        return super().build_generator(model, **overrides)
 
 
 # ---------------------------------------------------------------- motion

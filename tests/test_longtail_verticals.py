@@ -241,3 +241,39 @@ def test_text_longtail_train_and_evaluate(name, recs, metric):
     task.cfg.generation.max_len_b = 8
     results = task.evaluate(model, state.params, split="valid", max_batches=1)
     assert metric in results and np.isfinite(results[metric])
+
+
+def test_video_generation_train_and_generate():
+    """Conditional frame generation (reference task/video_generation.py):
+    video frames zeroed past the condition index, target = that frame as
+    VQGAN codes, constraint-range decode emits only <code> tokens."""
+    store = ConfigStore()
+    store.get("ofasys.preprocess", "video").config.patch_image_size = 32
+    store.get("ofasys.preprocess", "video").config.num_frames = 2
+    store.get("ofasys.preprocess", "image_vqgan").config.code_image_size = 32
+
+    rng = np.random.default_rng(0)
+    recs = [{"video": (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)}
+            for _ in range(8)]
+    task = build_task("video_generation")
+    task.cfg.dataset.batch_size = 8
+    task.add_dataset(recs, "train")
+
+    # the task preprocess conditions the record: target frame set, frames
+    # from the condition index zeroed
+    cooked = task.preprocess(dict(recs[0]), "train")
+    assert "frame" in cooked and cooked["frame"].shape == (32, 32, 3)
+    assert (np.asarray(cooked["video"])[-1] == 0).all()
+
+    model, state = fit(task)
+
+    task.cfg.generation.beam = 1
+    it = task.get_batch_iterator("train", fresh=True)
+    sample = next(iter(it))
+    outputs = task.inference(model, state.params, sample)
+    pre = task.general_preprocess.name2pre["image_vqgan"]
+    lo, hi = (int(x) for x in pre.constraint_range.split(","))
+    for hyps in outputs:
+        toks = hyps[0].tokens
+        body = toks[:-1] if toks[-1] == task.global_dict.eos() else toks
+        assert ((body >= lo) & (body < hi)).all(), body[:8]
