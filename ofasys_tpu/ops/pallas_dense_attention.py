@@ -67,7 +67,9 @@ def _scores(q, k, h, D, scale, bias_ref, mask_ref, causal):
     s = jax.lax.dot_general(
         q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if scale != 1.0:
+        s = s * scale
     if bias_ref is not None:
         s = s + bias_ref[h].astype(jnp.float32)
     if mask_ref is not None:
@@ -159,7 +161,7 @@ def _bwd_kernel(*refs, has_bias, has_mask, scale, causal, H, D, n_b):
         ds = p * (dp - dd)                       # (Tq, Tk) fp32, pre-scale
         if dbias_scr is not None:
             dbias_scr[h] += ds
-        dsb = (ds * scale).astype(in_dtype)
+        dsb = (ds * scale).astype(in_dtype) if scale != 1.0 else ds.astype(in_dtype)
         dq_ref[0, :, sl] = jax.lax.dot_general(
             dsb, k[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -173,6 +175,142 @@ def _bwd_kernel(*refs, has_bias, has_mask, scale, causal, H, D, n_b):
         @pl.when(b == n_b - 1)
         def _flush():
             dbias_ref[...] = dbias_scr[...].astype(dbias_ref.dtype)
+
+
+def _bwd_kernel_t(*refs, has_bias, has_mask, scale, H, D, n_b):
+    """Transpose-free backward: all score-space math runs in the TRANSPOSED
+    (Tk, Tq) orientation, chosen so every MXU contraction is canonical
+    ((M,K) x (K,N)) — the row-major backward needs p^T (for dv) and ds^T
+    (for dk), which Mosaic materializes as two full (Tq, Tk) transposes per
+    head (24 per program at H=12; they measured ~4x the forward's cost).
+    Here the only big transposes are ONE (E, Tq) flip of the accumulated
+    dq^T per program and H dbias flips per kernel; the bias arrives
+    pre-transposed (biasT, (H, Tk, Tq)) from the vjp wrapper."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    do_ref = refs[i]; i += 1
+    lse_ref = refs[i]; i += 1
+    biasT_ref = refs[i] if has_bias else None
+    i += has_bias
+    mask_ref = refs[i][0] if has_mask else None
+    i += has_mask
+    dq_ref, dk_ref, dv_ref = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    dbiasT_ref = refs[i] if has_bias else None
+    i += has_bias
+    dqt_scr = refs[i]; i += 1
+    dbias_scr = refs[i] if has_bias else None
+
+    b = pl.program_id(0)
+    q = q_ref[0]                                 # (Tq, E)
+    k = k_ref[0]                                 # (Tk, E)
+    v = v_ref[0]
+    do = do_ref[0]                               # (Tq, E)
+    in_dtype = q.dtype
+    maskT = jnp.transpose(mask_ref) if mask_ref is not None else None  # (Tk, 1)
+
+    if dbias_scr is not None:
+        @pl.when(b == 0)
+        def _init():
+            dbias_scr[:] = jnp.zeros_like(dbias_scr)
+
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        st = jax.lax.dot_general(                # (Tk, Tq) fp32
+            kh, qh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if scale != 1.0:
+            st = st * scale
+        if biasT_ref is not None:
+            st = st + biasT_ref[h].astype(jnp.float32)
+        if maskT is not None:
+            st = jnp.where(maskT != 0, st, MASK_VALUE)
+        pt = jnp.exp(st - jnp.transpose(lse_ref[0, h]))   # rows sum over Tk
+        ptb = pt.astype(in_dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(  # (Tk, D), canonical
+            ptb, doh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        dpt = jax.lax.dot_general(               # (Tk, Tq)
+            vh, doh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ddt = jnp.sum(dpt * pt, axis=0, keepdims=True)    # (1, Tq)
+        dst = pt * (dpt - ddt)                   # (Tk, Tq) fp32, pre-scale
+        if dbias_scr is not None:
+            dbias_scr[h] += dst
+        dstb = (dst * scale).astype(in_dtype) if scale != 1.0 else dst.astype(in_dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(  # (Tk, D), canonical
+            dstb, qh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+        dqt = jax.lax.dot_general(               # (D, Tq); small lhs flip
+            kh, dstb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqt_scr[sl, :] = dqt.astype(in_dtype)
+    dq_ref[0] = jnp.transpose(dqt_scr[...]).astype(dq_ref.dtype)
+
+    if dbiasT_ref is not None:
+        @pl.when(b == n_b - 1)
+        def _flush():
+            dbiasT_ref[...] = dbias_scr[...].astype(dbiasT_ref.dtype)
+
+
+def _backward_t(q, k, v, biasT, mask, lse, do, scale, H):
+    B, Tq, E = q.shape
+    Tk = k.shape[1]
+    D = E // H
+    spec = lambda T: pl.BlockSpec((1, T, E), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [spec(Tq), spec(Tk), spec(Tk), spec(Tq),
+                pl.BlockSpec((1, H, Tq, 1), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [q, k, v, do, lse]
+    if biasT is not None:                        # (H, Tk, Tq)
+        in_specs.append(pl.BlockSpec((H, Tk, Tq), lambda b: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(biasT)
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Tk), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    out_specs = [spec(Tq), spec(Tk), spec(Tk)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Tq, E), q.dtype),
+        jax.ShapeDtypeStruct((B, Tk, E), k.dtype),
+        jax.ShapeDtypeStruct((B, Tk, E), v.dtype),
+    ]
+    scratch = [pltpu.VMEM((E, Tq), q.dtype)]     # dq^T accumulator
+    if biasT is not None:
+        out_specs.append(pl.BlockSpec((H, Tk, Tq), lambda b: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((H, Tk, Tq), jnp.float32))
+        scratch.append(pltpu.VMEM((H, Tk, Tq), jnp.float32))
+    kernel = functools.partial(
+        _bwd_kernel_t, has_bias=biasT is not None, has_mask=mask is not None,
+        scale=scale, H=H, D=D, n_b=B,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * Tq * Tk * E,
+            bytes_accessed=4 * B * (Tq + 2 * Tk) * E,
+            transcendentals=B * H * Tq * Tk,
+        ),
+    )(*args)
+    if biasT is not None:
+        dq, dk, dv, dbiasT = outs
+        dbias = jnp.swapaxes(dbiasT, 1, 2)
+    else:
+        dq, dk, dv = outs
+        dbias = None
+    return dq, dk, dv, dbias
 
 
 def _backward(q, k, v, bias, mask, lse, do, scale, causal, H):
@@ -301,9 +439,15 @@ def _vjp_bwd(scale, causal, H, residuals, g):
 
         _, vjp = jax.vjp(f, q, k, v, bias)
         dq, dk, dv, dbias = vjp(g)
-    else:
+    elif causal or os.environ.get("OFASYS_DENSE_BWD") == "rowmajor":
+        # row-major variant kept for A/B (OFASYS_DENSE_BWD=rowmajor) and for
+        # direct calls that pass causal=True (the public wrapper folds the
+        # causal mask into the bias, so the hot path never lands here)
         dq, dk, dv, dbias = _backward(q, k, v, bias, mask, lse, g, scale,
                                       causal, H)
+    else:
+        biasT = jnp.swapaxes(bias, 1, 2) if bias is not None else None
+        dq, dk, dv, dbias = _backward_t(q, k, v, biasT, mask, lse, g, scale, H)
     if bias is not None and dbias is not None:
         dbias = dbias.astype(bias.dtype)
     return dq, dk, dv, dbias, None
@@ -350,9 +494,27 @@ def dense_attention(
 
     The (B, T, H, D) <-> (B, T, H*D) reshapes below are free (minor-dim
     merge/split of a contiguous axis) — the kernel's IO really is the
-    projection GEMMs' output buffer."""
+    projection GEMMs' output buffer.
+
+    VPU-pass economics (the per-score-element work dominates at short T —
+    an xplane profile showed the T=64 task's kernels cost as much as the
+    T=196 ones, all overhead): the q-scaling and the causal mask are folded
+    OUTSIDE the kernel, where they cost O(T*E) fused into the projection
+    epilogue / O(1) fused into the bias materialization, instead of O(T^2)
+    VPU passes per head inside. Backward stays exact: the kernel sees a
+    pre-scaled q (its dk = ds^T (q*scale) is the true gradient; the outer
+    multiply's autodiff rescales dq), and the causal -1e9 rides the bias."""
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if causal:
+        i = jnp.arange(Tq)[:, None]
+        j = jnp.arange(Tk)[None, :]
+        cm = j <= i + (Tk - Tq)                     # (Tq, Tk) static
+        if bias is None:
+            bias = jnp.where(cm, 0.0, MASK_VALUE)[None, None]
+        else:
+            bias = jnp.where(cm[None, None], bias, MASK_VALUE)
     bf = None
     if bias is not None:
         if bias.ndim == 4:
@@ -361,7 +523,7 @@ def dense_attention(
             bias = bias[0]
         # bf16 bias halves its VMEM residency + one HBM read; matches the
         # attn_logits='compute' storage policy
-        bf = bias.astype(jnp.bfloat16)
+        bf = jnp.broadcast_to(bias, (H, Tq, Tk)).astype(jnp.bfloat16)
     mf = None
     if mask is not None:
         m = mask.astype(jnp.int8)
@@ -369,7 +531,7 @@ def dense_attention(
         mf = m.reshape(B, 1, Tk)
     out = _dense_attention(
         q.reshape(B, Tq, H * D), k.reshape(B, Tk, H * D), v.reshape(B, Tk, H * D),
-        bf, mf, float(scale), bool(causal), H,
+        bf, mf, 1.0, False, H,
     )
     return out.reshape(B, Tq, H, D)
 
