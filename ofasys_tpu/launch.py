@@ -95,9 +95,15 @@ def build_from_config(data: Dict[str, Any]):
     for name, tcfg in (data.get("tasks", {}) or {}).items():
         registry_name = tcfg.pop("task", "default") if isinstance(tcfg, dict) else "default"
         node = ConfigStore().get("ofasys.task", registry_name)
-        task = node.target_cls(name=name)
+        # merge overrides into the config BEFORE construction: task
+        # __init__s derive templates/metrics from config fields (e.g.
+        # GlueTask reads cfg.subtask), so post-hoc cfg.update is too late
+        import copy
+
+        cfg = copy.deepcopy(node.config)
         if tcfg:
-            task.cfg.update(**_flatten(tcfg))
+            cfg.update(**_flatten(tcfg))
+        task = node.target_cls(cfg, name=name)
         tasks.append(task)
 
     from ofasys_tpu.engine.trainer import Trainer

@@ -333,3 +333,28 @@ class SqlExecAccMetric(BaseMetric):
                 continue
             ok += execution_match(db, pred_sql, gold_sql)
         return {"sql_exec_acc": ok / max(total, 1)}
+
+
+@register_config("ofasys.metric", "sql_match_acc", MetricConfig)
+class SqlMatchAccMetric(BaseMetric):
+    """Classical (parse-based) Spider evaluation: exact SET match with values
+    ignored, plus mean per-clause partial F1 (reference
+    ofasys/utils/spider/evaluation.py via metric/exact_match.py:50-83 —
+    the reference's spider 'exact_match' is this evaluator, not string EM).
+    Accepts the same ``db_id | sql`` prefixed strings as sql_exec_acc."""
+
+    @staticmethod
+    def _sql(s: str) -> str:
+        db_id, sep, sql = str(s).partition("|")
+        return sql.strip() if sep else str(s).strip()
+
+    def compute(self, hyps, refs):
+        from ofasys_tpu.utils.sql_classical import PARTIAL_TYPES, evaluate_classical
+
+        out = evaluate_classical(
+            [self._sql(h) for h in hyps], [self._sql(r) for r in refs]
+        )
+        result = {"sql_match_acc": out["exact"]["all"]}
+        pf = out["partial_f1"]["all"]
+        result["sql_partial_f1"] = sum(pf[t] for t in PARTIAL_TYPES) / len(PARTIAL_TYPES)
+        return result

@@ -28,8 +28,16 @@ class StructPreprocessConfig(TextPreprocessConfig):
 
 
 @register_config("ofasys.preprocess", "struct", StructPreprocessConfig)
+@register_config("ofasys.preprocess", "table", StructPreprocessConfig)
 class StructPreprocess(TextPreprocess):
-    """Tables -> linearized text (reference DefaultStructPreprocess)."""
+    """Tables -> linearized text (reference DefaultStructPreprocess).
+
+    Registered under BOTH "struct" and "table": the reference's canonical
+    name is "table" (reference preprocessor/default/struct.py:37 and
+    default_preprocess[STRUCT]='table', general.py:33), so reference-authored
+    templates with ``preprocess=table`` must resolve; "struct" is kept for
+    templates written against this repo.
+    """
 
     def linearize(self, value: Any) -> str:
         if isinstance(value, str):
@@ -67,17 +75,68 @@ class DatabasePreprocessConfig(StructPreprocessConfig):
 @register_config("ofasys.preprocess", "database", DatabasePreprocessConfig)
 class DatabasePreprocess(StructPreprocess):
     """Spider DB schema serialization (reference DatabaseStructPreprocess,
-    struct.py:77-232): 'db_id | table : col1, col2 | table2 : ...'."""
+    struct.py:77-115): peteshaw format
+    ``db_id | table : col1 , col2 ( linked value ) | table2 : ...``.
+
+    When ``schema_serialization_with_db_content`` is set and the slot value
+    carries a ``question`` plus a database location (``db_path``), question
+    tokens are matched against actual DB cell values (BRIDGE content
+    encoding, reference utils/spider/bridge_content_encoder.py) and matched
+    values are appended after their column — this materially changes the
+    text-to-SQL model input and is the reference's default behavior.
+    """
+
+    @staticmethod
+    def _tables_of(value: Dict[str, Any]) -> List:
+        """Ordered (table, [cols]) pairs from either this repo's
+        ``{"tables": {t: [cols]}}`` shape or the reference record shape
+        ``{"db_table_names": [...], "db_column_names": {"table_id": [...],
+        "column_name": [...]}}`` (reference struct.py:280-297)."""
+        if "tables" in value:
+            return [(str(t), [str(c) for c in cols]) for t, cols in value["tables"].items()]
+        names = value.get("db_table_names") or []
+        colrec = value.get("db_column_names") or {}
+        out = [(str(t), []) for t in names]
+        for tid, col in zip(colrec.get("table_id", []), colrec.get("column_name", [])):
+            if 0 <= int(tid) < len(out) and str(col) != "*":
+                out[int(tid)][1].append(str(col))
+        return out
+
+    def _db_file(self, value: Dict[str, Any]) -> str:
+        """Resolve the sqlite file: an explicit ``db_path`` pointing at the
+        file, or a Spider-layout root ``{root}/{db_id}/{db_id}.sqlite`` (flat
+        ``{root}/{db_id}.sqlite`` also accepted)."""
+        import os
+
+        raw = value.get("db_path") or ""
+        if not raw:
+            return ""
+        if raw.endswith(".sqlite"):
+            return raw
+        db_id = str(value.get("db_id", ""))
+        for cand in (os.path.join(raw, db_id, f"{db_id}.sqlite"),
+                     os.path.join(raw, f"{db_id}.sqlite")):
+            if os.path.isfile(cand):
+                return cand
+        return ""
 
     def linearize(self, value: Any) -> str:
         if isinstance(value, str):
             return value
         if isinstance(value, dict) and "db_id" in value:
-            parts = [str(value["db_id"])]
-            tables: Dict[str, List[str]] = value.get("tables", {})
-            for tname, cols in tables.items():
-                parts.append(f"{tname} : " + ", ".join(map(str, cols)))
-            return " | ".join(parts)
+            from ofasys_tpu.utils.spider_linking import serialize_schema
+
+            db_file = self._db_file(value)
+            return serialize_schema(
+                question=str(value.get("question", "")),
+                db_path=db_file,
+                db_id=str(value["db_id"]),
+                tables=self._tables_of(value),
+                with_db_id=True,
+                with_db_content=(
+                    self.cfg.schema_serialization_with_db_content and bool(db_file)
+                ),
+            ).strip()
         return super().linearize(value)
 
 

@@ -212,10 +212,18 @@ _task("gigaword", 'what is the summary of article " [TEXT:src] "? -> [TEXT:tgt]'
 _task("natural_instruction_v2", "[TEXT:src] -> [TEXT:tgt]", metrics=("rouge",))
 
 
-@register_config("ofasys.task", "glue", TaskConfig)
+@dataclasses.dataclass
+class GlueTaskConfig(TaskConfig):
+    # which GLUE subtask to run; drives the prompt template and metric
+    # (reference task/glue_task.py exposes all 8 from config)
+    subtask: str = "cola"
+
+
+@register_config("ofasys.task", "glue", GlueTaskConfig)
 class GlueTask(TraverseTask):
     """GLUE benchmark (reference task/glue_task.py): prompt templates per
-    subtask; closed-set label scoring."""
+    subtask; closed-set label scoring. ``subtask`` is a config field, so
+    ``--ofasys.task.glue.subtask=mnli`` and YAML both work."""
 
     SUBTASK_TEMPLATES = {
         "cola": ' is the text " [TEXT:sentence] " grammatically correct? -> [TEXT:label,closed_set]',
@@ -228,15 +236,21 @@ class GlueTask(TraverseTask):
         "stsb": ' is the similarity of text1 " [TEXT:sentence1] " and text2 " [TEXT:sentence2] " high? -> [TEXT:label,closed_set]',
     }
 
-    def __init__(self, cfg=None, subtask: str = "cola", **kwargs):
+    def __init__(self, cfg=None, subtask: Optional[str] = None, **kwargs):
         super().__init__(cfg, **kwargs)
-        self.subtask = subtask
+        # python-API kwarg overrides the config field; config default "cola"
+        self.subtask = subtask or getattr(self.cfg, "subtask", "cola")
+        if self.subtask not in self.SUBTASK_TEMPLATES:
+            raise ValueError(
+                f"unknown GLUE subtask {self.subtask!r}; "
+                f"choose from {sorted(self.SUBTASK_TEMPLATES)}")
         if not self.cfg.instruction.template:
-            self.cfg.instruction.template = self.SUBTASK_TEMPLATES[subtask]
+            self.cfg.instruction.template = self.SUBTASK_TEMPLATES[self.subtask]
         if not self.cfg.evaluation.metrics:
-            self.cfg.evaluation.metrics = ("accuracy",) if subtask != "cola" else ("matthews_corrcoef",)
+            self.cfg.evaluation.metrics = (
+                ("accuracy",) if self.subtask != "cola" else ("matthews_corrcoef",))
         if self.cfg.name == "default":
-            self.cfg.name = f"glue_{subtask}"
+            self.cfg.name = f"glue_{self.subtask}"
 
 
 @register_config("ofasys.task", "sudoku", TaskConfig)
@@ -286,7 +300,7 @@ class SpiderTask(Task):
                 '" [STRUCT:database,preprocess=database] " -> [TEXT:query]'
             )
         if not self.cfg.evaluation.metrics:
-            self.cfg.evaluation.metrics = ("exact_match", "sql_exec_acc")
+            self.cfg.evaluation.metrics = ("exact_match", "sql_match_acc", "sql_exec_acc")
         if self.cfg.name == "default":
             self.cfg.name = "spider"
         self._schema_cache: Dict[str, Any] = {}
@@ -320,7 +334,15 @@ class SpiderTask(Task):
                 self._schema_cache[db_id] = (
                     dump_schema(db, db_id) if db else {"db_id": db_id, "tables": {}}
                 )
-            data["database"] = self._schema_cache[db_id]
+            # per-example copy carrying the question + db location so the
+            # database preprocessor can link question tokens to DB cell
+            # values (reference task/spider.py:69 form_input_for_construction
+            # threads question/db_path into the serialization)
+            data["database"] = dict(
+                self._schema_cache[db_id],
+                question=str(data.get("question", "")),
+                db_path=self._db_file(db_id) or "",
+            )
         q = data.get("query")
         if q is not None:
             q = str(q).lower().replace("<unk>", "unk").strip()

@@ -116,8 +116,25 @@ def test_spider_exec_accuracy_train_and_evaluate(tmp_path):
     # preprocess dumps the schema from the sqlite file into the prompt and
     # prefixes the target with the db id
     rec = task.preprocess(dict(recs[0]), "train")
-    assert rec["database"] == {"db_id": "farm", "tables": {"cows": ["id", "name"]}}
+    assert rec["database"]["db_id"] == "farm"
+    assert rec["database"]["tables"] == {"cows": ["id", "name"]}
     assert rec["query"].startswith("farm | ")
+
+    # DB-content value linking: a question mentioning a cell value gets that
+    # value injected into the serialized schema (reference
+    # preprocessor/default/struct.py:89-115 + bridge_content_encoder)
+    from ofasys_tpu.configure import ConfigStore
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+
+    node = ConfigStore().get("ofasys.preprocess", "database")
+    dpre = node.target_cls(Dictionary(), node.config)
+    rec2 = task.preprocess(
+        {"question": "what is the id of bessie?", "db_id": "farm",
+         "query": "select id from cows where name = 'bessie'"}, "train")
+    serialized = dpre.linearize(rec2["database"])
+    assert "name ( bessie )" in serialized, serialized
+    # and an unrelated question links nothing
+    assert "(" not in dpre.linearize(rec["database"])
 
     model, state = fit(task)
     task.cfg.generation.beam = 1

@@ -52,7 +52,9 @@ def test_struct_preprocessor_linearizes():
     db = ConfigStore().get("ofasys.preprocess", "database")
     dpre = db.target_cls(d, db.config)
     s3 = dpre.linearize({"db_id": "farm", "tables": {"cows": ["id", "name"]}})
-    assert s3 == "farm | cows : id, name"
+    # peteshaw format incl. the leading "| " the reference's strip() keeps
+    # (ref struct.py:252-260, 300-303)
+    assert s3 == "| farm | cows : id , name"
 
 
 def test_phone_preprocessor_roundtrip():
@@ -89,6 +91,34 @@ def test_glue_subtask_templates():
         t = GlueTask(subtask=sub)
         assert t.name == f"glue_{sub}"
         Instruction(t.templates[0])
+
+
+def test_glue_subtask_from_config():
+    # subtask is a GlueTaskConfig field, so --ofasys.task.<name>.subtask=...
+    # (and the YAML equivalent) select the template/metric (reference
+    # task/glue_task.py drives all 8 subtasks from config)
+    import pytest
+
+    from ofasys_tpu.configure.options import parse_flags
+    from ofasys_tpu.launch import build_from_config
+    from ofasys_tpu.task.tasks import GlueTask
+
+    data, _ = parse_flags([
+        "--ofasys.task.mnli.task=glue",
+        "--ofasys.task.mnli.subtask=mnli",
+        "--ofasys.task.cola.task=glue",
+        "--ofasys.task.cola.subtask=cola",
+    ])
+    _, _, tasks = build_from_config(data)
+    by_name = {t.name: t for t in tasks}
+    mnli, cola = by_name["mnli"], by_name["cola"]
+    assert mnli.subtask == "mnli" and cola.subtask == "cola"
+    assert mnli.cfg.instruction.template != cola.cfg.instruction.template
+    assert "premise" in mnli.cfg.instruction.template
+    assert tuple(mnli.cfg.evaluation.metrics) == ("accuracy",)
+    assert tuple(cola.cfg.evaluation.metrics) == ("matthews_corrcoef",)
+    with pytest.raises(ValueError, match="unknown GLUE subtask"):
+        GlueTask(subtask="nope")
 
 
 def test_image_vqgan_preprocess_registers_codes():
