@@ -139,7 +139,11 @@ class ImageResnetAdaptor(_ImageAdaptorMixin):
     @nn.compact
     def __call__(self, slot: SlotBatch, deterministic: bool = True) -> AdaptorOutput:
         images = self.get_images(slot).astype(self.dtype)  # (B, H, W, 3)
-        feat = ResNet(self.adaptor_cfg.resnet_type, dtype=self.dtype, name="embed_images")(images)
+        feat = ResNet(
+            self.adaptor_cfg.resnet_type,
+            drop_path_rate=self.adaptor_cfg.resnet_drop_path_rate,
+            dtype=self.dtype, name="embed_images",
+        )(images, deterministic=deterministic)
         if self.adaptor_cfg.freeze_resnet:
             feat = jax.lax.stop_gradient(feat)
         feat = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,

@@ -31,6 +31,23 @@ class TextAdaptorConfig(BaseAdaptorConfig):
 class TextAdaptor(BaseAdaptor):
     """Token embeddings + positions + per-layer rel-pos bias tables."""
 
+    def setup(self):
+        # untied output projection / vocab bias (reference adaptor/text.py:
+        # 39-57,81-90); declared here because forward_output is a plain
+        # method (setup-params compose fine with the @compact __call__)
+        if not getattr(self.adaptor_cfg, "share_input_output_embed", True):
+            self._output_projection = self.param(
+                "output_projection",
+                nn.initializers.normal(self.embed_dim ** -0.5),
+                (self.embed_dim, self.embed_tokens.num_embeddings), jnp.float32,
+            )
+        if getattr(self.adaptor_cfg, "output_bias", False):
+            self._output_bias = self.param(
+                "output_projection_bias",
+                nn.initializers.zeros,
+                (self.embed_tokens.num_embeddings,), jnp.float32,
+            )
+
     @nn.compact
     def __call__(self, slot: SlotBatch, deterministic: bool = True) -> AdaptorOutput:
         tokens = slot.value["inputs"] if isinstance(slot.value, dict) else slot.value
@@ -73,7 +90,17 @@ class TextAdaptor(BaseAdaptor):
         it back through the final LayerNorm, whose backward reductions
         then run ~13x slower (profiled on the 50k-vocab mixed step).
         flax promotes both operands to the module dtype (bf16 compute,
-        f32 accumulation); softmax/losses upcast at their own sites."""
+        f32 accumulation); softmax/losses upcast at their own sites.
+
+        share_input_output_embed=False swaps the tied projection for an
+        untied (E, V) kernel; output_bias adds a vocab bias — both match
+        the reference's flags (adaptor/text.py:39-57,81-90)."""
         B, T, E = x.shape
-        logits = self.embed_tokens.attend(x.reshape(B * T, E))
+        x2 = x.reshape(B * T, E)
+        if getattr(self.adaptor_cfg, "share_input_output_embed", True):
+            logits = self.embed_tokens.attend(x2)
+        else:
+            logits = x2 @ self._output_projection.astype(x2.dtype)
+        if getattr(self.adaptor_cfg, "output_bias", False):
+            logits = logits + self._output_bias.astype(logits.dtype)
         return logits.reshape(B, T, -1), extra

@@ -72,6 +72,10 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
         zf = z.astype(jnp.float32)                     # fuses into each reduce
         tgt = target.reshape(B * T)
         valid = tgt != pad_id
+        if cfg.ignore_eos:
+            # exclude EOS positions from the loss (flag parity with the
+            # reference's criterion surface; eos_id set at build time)
+            valid = valid & (tgt != getattr(self, "eos_id", 2))
         zmax = jax.lax.stop_gradient(jnp.max(zf, axis=-1, keepdims=True))
         lse = zmax[:, 0] + jnp.log(jnp.sum(jnp.exp(zf - zmax), axis=-1))
         # gather from the bf16 logits and convert the (N,) result — gathering

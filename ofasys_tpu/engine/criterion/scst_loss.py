@@ -101,6 +101,12 @@ class ScstRewardCriterion(BaseCriterion):
             out, _ = net.apply({"params": params}, [tgt], enc, method=net.decode_full)
             tok_lp = token_log_probs(out, jnp.asarray(target))
             valid = jnp.asarray(target) != d_pad
+            if self.cfg.ignore_prefix_size > 0:
+                # exclude the first N target positions from the policy score
+                # (reference label_smoothed_cross_entropy.py:165-167 slices
+                # the prefix off the loss; same semantics for the PG score)
+                pos = jnp.arange(valid.shape[1])[None, :]
+                valid = valid & (pos >= self.cfg.ignore_prefix_size)
             seq_lp = jnp.where(valid, tok_lp, 0.0).sum(-1)
             loss = -(adv * seq_lp).sum()
             return loss, valid.sum()

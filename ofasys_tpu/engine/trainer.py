@@ -327,7 +327,9 @@ class Trainer:
                 if key not in self.meters:
                     self.meters.add_meter(key, AverageMeter(round=4))
                 self.meters[key].update(float(v))
-            key = cfg.checkpoint.best_checkpoint_metric
+            # a task may name its own selection metric (evaluation.best_metric);
+            # the global checkpoint.best_checkpoint_metric is the fallback
+            key = task.cfg.evaluation.best_metric or cfg.checkpoint.best_checkpoint_metric
             if key in metrics:
                 vals.append(float(metrics[key]))
         if not vals:

@@ -71,12 +71,17 @@ class AutoRegressiveSpeechGenerator:
         # ONE device_get: sequential np.asarray readbacks each pay a full
         # tunnel round-trip
         frames, eos_probs, lengths = jax.device_get((frames, eos_probs, lengths))
+        # ground-truth features ride along for eval-side comparison when the
+        # batch carries them (reference SpeechGeneratorOutput.targ_feature)
+        targ = sample.get("target")
+        targ = np.asarray(targ) if targ is not None else None
         outs = []
         for b in range(B):
             L = int(lengths[b])
             outs.append(SpeechGeneratorOutput(
                 feature=self.gcmvn_denormalize(frames[b, :L]),
                 eos_prob=eos_probs[b, :L],
+                targ_feature=targ[b] if targ is not None and targ.ndim >= 3 else None,
             ))
         return outs
 

@@ -46,10 +46,11 @@ class FrozenBatchNorm(nn.Module):
 class Bottleneck(nn.Module):
     features: int
     stride: int = 1
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
@@ -59,6 +60,11 @@ class Bottleneck(nn.Module):
         y = nn.relu(norm(self.features, "bn1")(conv(self.features, 1, 1, "conv1")(x)))
         y = nn.relu(norm(self.features, "bn2")(conv(self.features, 3, self.stride, "conv2")(y)))
         y = norm(self.features * 4, "bn3")(conv(self.features * 4, 1, 1, "conv3")(y))
+        if self.drop_path_rate > 0.0:
+            # stochastic depth (reference module/resnet.py:114,133 DropPath):
+            # per-sample Bernoulli drop of the residual branch, scaled 1/keep
+            y = nn.Dropout(self.drop_path_rate, broadcast_dims=(1, 2, 3))(
+                y, deterministic=deterministic)
         if residual.shape[-1] != self.features * 4 or self.stride != 1:
             residual = norm(self.features * 4, "downsample_bn")(
                 conv(self.features * 4, 1, self.stride, "downsample_conv")(x)
@@ -71,10 +77,11 @@ class ResNet(nn.Module):
     output (B, H/16, W/16, 1024)."""
 
     resnet_type: str = "resnet50"
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         blocks = STAGE_BLOCKS[self.resnet_type]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
@@ -83,5 +90,6 @@ class ResNet(nn.Module):
         for stage, (feats, n) in enumerate(zip((64, 128, 256), blocks)):
             for i in range(n):
                 stride = 2 if (i == 0 and stage > 0) else 1
-                x = Bottleneck(feats, stride, dtype=self.dtype, name=f"layer{stage + 1}_{i}")(x)
+                x = Bottleneck(feats, stride, self.drop_path_rate, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{i}")(x, deterministic=deterministic)
         return x

@@ -61,7 +61,12 @@ class ImageVqganPreprocess(TextPreprocess):
         return self._tokenizer
 
     @property
-    def constraint_range(self) -> str:
+    def constraint_range(self) -> Optional[str]:
+        """Decode-time sub-vocab restriction to the ``<code>_*`` range;
+        ``constraint_decoding=False`` opts out (generator then samples the
+        full vocab, matching an unconstrained reference run)."""
+        if not self.cfg.constraint_decoding:
+            return None
         return f"{self.code_start},{self.code_end}"
 
     def encode_image(self, value: Any) -> np.ndarray:

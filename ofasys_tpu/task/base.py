@@ -13,6 +13,7 @@ from __future__ import annotations
 import copy
 import dataclasses
 import logging
+import os
 import random
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -143,8 +144,9 @@ class Task:
             copy.deepcopy(crit_node.config), pad_id=global_dict.pad()
         )
         # criteria that project onto sub-vocabs (speech_pretrain MAM) need
-        # the dictionary's namespace ranges
+        # the dictionary's namespace ranges; eos_id backs the ignore_eos flag
         self.criterion.global_dict = global_dict
+        self.criterion.eos_id = global_dict.eos()
         self.metrics = []
         for mname in self.cfg.evaluation.metrics:
             node = store.get("ofasys.metric", mname)
@@ -253,12 +255,19 @@ class Task:
                 "(%d tokens/sample, multiple of %d)",
                 self.name, dcfg.max_tokens, bsz, self.max_sample_tokens(), mult,
             )
+        extra_accum = 1
+        if split == "train" and self.cfg.micro_batch_size and self.cfg.micro_batch_size < bsz:
+            # micro-batching (reference task/base.py:76,398-400): iterate in
+            # micro_batch_size chunks; the extra accumulation factor folds
+            # into update_freq so the effective tokens/update are unchanged
+            extra_accum = -(-bsz // self.cfg.micro_batch_size)  # ceil
+            bsz = self.cfg.micro_batch_size
         it = EpochBatchIterator(
             reader=self.datasets[split],
             process_fn=lambda rec, i: self.process_sample(rec, split),
             collate_fn=self.general_preprocess.collate,
             batch_size=bsz,
-            update_freq=dcfg.update_freq if split == "train" else 1,
+            update_freq=dcfg.update_freq * extra_accum if split == "train" else 1,
             shuffle=(split == "train"),
             seed=seed,
             rank=rank,
@@ -350,6 +359,24 @@ class Task:
         """Generate + postprocess (reference task/base.py:727)."""
         if self._generator is None:
             self.build_generator(model, **gen_overrides)
+        _pt = sample.get("prefix_tokens")
+        if (self.cfg.instruction.decoder_prompt
+                and (_pt is None or np.asarray(_pt).size == 0)
+                and hasattr(self._generator, "generate")):
+            # decoder_prompt: force-decode these tokens before free
+            # generation (the generator consumes sample["prefix_tokens"])
+            text_pre = self.general_preprocess.name2pre.get("text")
+            if text_pre is not None:
+                prompt = np.asarray(
+                    text_pre.encode(self.cfg.instruction.decoder_prompt), np.int32
+                )[None, :]
+                B = int(np.asarray(sample["target"]).shape[0]) if "target" in sample \
+                    else next(iter(
+                        v for s in sample["net_input"]["slots"]
+                        for v in ([s.value] if not isinstance(s.value, dict) else s.value.values())
+                        if hasattr(v, "shape")
+                    )).shape[0]
+                sample = dict(sample, prefix_tokens=np.tile(prompt, (B, 1)))
         outputs = self._generator.generate(params, sample)
         for hyps in outputs:
             for h in hyps:
@@ -371,9 +398,26 @@ class Task:
             for b, out in enumerate(outputs[:n_valid]):
                 hyps.append(out[0].text if out[0].text is not None else
                             self.general_preprocess.name2pre["text"].decode(out[0].tokens))
-                target = np.asarray(batch["target"])[b]
-                refs.append(self.general_preprocess.name2pre["text"].decode(target))
+                # per-metric raw references: a preprocessor may have stashed
+                # the metric's target_field (e.g. raw strings, SQL golds) in
+                # the collated batch via sample_extra (reference
+                # task/base.py:673 `refs = sample[metric.cfg.target_field]`)
+                tf = {m.cfg.target_field for m in self.metrics} - {"target"}
+                raw = batch.get(next(iter(tf))) if len(tf) == 1 else None
+                if raw is not None and b < len(raw):
+                    refs.append(raw[b])
+                else:
+                    target = np.asarray(batch["target"])[b]
+                    refs.append(self.general_preprocess.name2pre["text"].decode(target))
         results: Dict[str, float] = {}
         for metric in self.metrics:
             results.update(metric.compute(hyps, refs))
+        out_dir = self.cfg.evaluation.output_dir
+        if out_dir:
+            # persist inference results (reference task/base.py:153,701)
+            import json as _json
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, f"{self.name}_{split}.json"), "w") as f:
+                _json.dump({"hyps": hyps, "refs": [str(r) for r in refs],
+                            "metrics": results}, f, indent=1)
         return results

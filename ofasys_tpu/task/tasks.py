@@ -120,8 +120,10 @@ class ImageGenTask(Task):
 
     def build_generator(self, model, **overrides):
         pre = self.general_preprocess.name2pre["image_vqgan"]
-        # only <code> tokens may decode (reference image_gen.py:26-33)
-        overrides.setdefault("constraint_range", f"({pre.constraint_range})")
+        # only <code> tokens may decode (reference image_gen.py:26-33);
+        # constraint_range is None when constraint_decoding=False opts out
+        if pre.constraint_range:
+            overrides.setdefault("constraint_range", f"({pre.constraint_range})")
         n = overrides.get("return_n_best", self.cfg.generation.return_n_best)
         if n > 1:
             # best-of-N: N independent sampling streams in one decode
@@ -435,7 +437,8 @@ class VideoGenerationTask(Task):
 
     def build_generator(self, model, **overrides):
         pre = self.general_preprocess.name2pre["image_vqgan"]
-        overrides.setdefault("constraint_range", f"({pre.constraint_range})")
+        if pre.constraint_range:
+            overrides.setdefault("constraint_range", f"({pre.constraint_range})")
         return super().build_generator(model, **overrides)
 
 
