@@ -816,5 +816,10 @@ def dense_supported(B: int, Tq: int, Tk: int, D: int, H: int,
         return False
     if Tq > MAX_T or Tk > MAX_T or D > 256 or H * D > 4096:
         return False
+    # A/B knob: route score matrices below a Tq*Tk floor to XLA
+    # (microbenched: XLA wins some small-score shapes in isolation, but the
+    # r4 end-to-end A/B measured the kernel better everywhere — see below)
+    if Tq * Tk < int(os.environ.get("OFASYS_DENSE_MIN_SCORE", "0")):
+        return False
     # tiny dispatches (B=1 encoder inside a decode program) stay on XLA
     return B * Tq >= 256
