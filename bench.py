@@ -574,5 +574,400 @@ def main():
     print(json.dumps(out))
 
 
+# ===================================================================
+# Opt-in artifact modes (VERDICT r3 #2/#5/#8). `python bench.py` alone is
+# unchanged — the driver's governing metric stays the mixed multi-task line.
+# ===================================================================
+
+def _write_artifact(name, payload):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+def run_verify():
+    """On-chip Pallas numerics parity (VERDICT r3 #5): one jitted program
+    per check runs BOTH the Mosaic kernel and the XLA reference fwd+bwd and
+    returns scalar diffs (loss rel, gnorm rel, elementwise grad max-rel) —
+    comparisons happen on device, so the tunnel only moves a few floats.
+    The pytest suite exercises these kernels in interpret mode only
+    (tests/conftest.py forces CPU); this mode is the Mosaic-compiled proof.
+    Writes VERIFY_ONCHIP.json and prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofasys_tpu.ops.attention import causal_mask, dot_product_attention
+    from ofasys_tpu.ops import pallas_attention as pa
+    from ofasys_tpu.ops.pallas_dense_attention import dense_attention
+
+    platform = jax.devices()[0].platform
+    checks = {}
+
+    def _gn(grads):
+        return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                            for g in jax.tree_util.tree_leaves(grads)))
+
+    def compare(name, f_kernel, f_ref, args, tol=5e-3):
+        n = len(args)
+
+        def both(*a):
+            lk, gk = jax.value_and_grad(f_kernel, argnums=tuple(range(n)))(*a)
+            lr, gr = jax.value_and_grad(f_ref, argnums=tuple(range(n)))(*a)
+            md = jnp.max(jnp.stack([
+                jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32)))
+                for x, y in zip(gk, gr)]))
+            sc = jnp.max(jnp.stack([jnp.max(jnp.abs(y.astype(jnp.float32)))
+                                    for y in gr]))
+            return lk, lr, _gn(gk), _gn(gr), md / (sc + 1e-20)
+
+        t0 = time.perf_counter()
+        lk, lr, gnk, gnr, grel = (float(x) for x in jax.jit(both)(*args))
+        dt = time.perf_counter() - t0
+        loss_rel = abs(lk - lr) / (abs(lr) + 1e-20)
+        gn_rel = abs(gnk - gnr) / (gnr + 1e-20)
+        passed = loss_rel < tol and gn_rel < tol and grel < 5e-2
+        checks[name] = {
+            "ok": passed, "loss_rel": round(loss_rel, 8),
+            "gnorm_rel": round(gn_rel, 8), "grad_max_rel": round(grel, 8),
+            "compile_plus_run_s": round(dt, 1),
+        }
+
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    # 1. flash attention, causal + shared bias + padding mask — the training
+    #    configuration that exercises the batch-accumulating shared-dbias
+    #    kernel (B=8/H=12 is the shape its win was measured at).
+    # BENCH_VERIFY_T shrinks shapes for a CPU interpret-mode smoke of this
+    # mode itself; the committed artifact must come from the real chip.
+    B, T, H, D = 8, int(os.environ.get("BENCH_VERIFY_T", "1024")), 12, 64
+    q, k, v = arr(B, T, H, D), arr(B, T, H, D), arr(B, T, H, D)
+    bias = arr(1, H, T, T) * 0.1
+    # key 0 always kept: with causal masking a dropped key 0 makes query
+    # row 0 FULLY masked, and kernel-vs-XLA outputs on fully-masked rows are
+    # both garbage (different garbage) whose dk/dv poison every key's grad.
+    # Production never produces fully-masked rows (BOS is never padded).
+    keep_np = np.asarray(rng.random((B, T)) > 0.1)
+    keep_np[:, 0] = True
+    keep = jnp.asarray(keep_np)
+    w = arr(B, T, H, D) * 0.05   # non-uniform cotangent
+    mask4 = keep[:, None, None, :]
+    ref_mask = jnp.logical_and(mask4, causal_mask(T, T))
+    sc = 0.125
+
+    compare(
+        "flash_causal_bias_mask_dbias",
+        lambda q, k, v, b: (pa.flash_attention(
+            q, k, v, bias=b, mask=mask4, scale=sc, causal=True) * w).sum(),
+        lambda q, k, v, b: (dot_product_attention(
+            q, k, v, bias=b, mask=ref_mask, scale=sc) * w).sum(),
+        (q, k, v, bias),
+    )
+
+    # 2. flash_attention_with_lse — the ring-attention inner contract,
+    #    including the lse cotangent folding (dd -> dd - g_lse).
+    BH, T2, D2 = 8, max(T // 2, 256), 64
+    q2, k2, v2 = arr(BH, T2, D2), arr(BH, T2, D2), arr(BH, T2, D2)
+    b2 = arr(1, T2, T2) * 0.1
+    w2 = arr(BH, T2, D2) * 0.05
+    wl = arr(BH, T2, 1) * 0.05
+
+    def lse_loss(fn):
+        def f(q, k, v, b):
+            o, l = fn(q, k, v, b, None, sc, True)
+            return (o * w2).sum() + (l * wl).sum()
+        return f
+
+    compare(
+        "flash_with_lse_causal",
+        lse_loss(pa.flash_attention_with_lse),
+        lse_loss(pa._xla_reference_lse),
+        (q2, k2, v2, b2),
+    )
+
+    # 3. short-seq dense kernel (G-blocked grid, the mixed-bench production
+    #    path) at a mixed-bench-like shape, causal + bias + mask — at
+    #    PRODUCTION dtype (bf16 operands, attn_logits='compute' policy):
+    #    fp32 IO doubles the backward's VMEM block footprint past the 16 MB
+    #    scoped limit at this G (measured on-chip: 17.14M > 16M), a shape
+    #    production never compiles. Both legs see identical bf16 inputs, so
+    #    the comparison stays apples-to-apples.
+    B3, T3 = 64, 64
+    bf16 = jnp.bfloat16
+    q3 = arr(B3, T3, H, D).astype(bf16)
+    k3 = arr(B3, T3, H, D).astype(bf16)
+    v3 = arr(B3, T3, H, D).astype(bf16)
+    b3 = (arr(1, H, T3, T3) * 0.1).astype(bf16)
+    m3_np = np.asarray(rng.random((B3, T3)) > 0.1)
+    m3_np[:, 0] = True                    # see keep_np note above
+    m3 = jnp.asarray(m3_np)[:, None, None, :]
+    w3 = arr(B3, T3, H, D) * 0.05
+    ref_m3 = jnp.logical_and(m3, causal_mask(T3, T3))
+
+    compare(
+        "dense_short_seq_causal_bias_mask",
+        lambda q, k, v, b: (dense_attention(
+            q, k, v, bias=b, mask=m3, scale=sc, causal=True) * w3).sum(),
+        lambda q, k, v, b: (dot_product_attention(
+            q, k, v, bias=b, mask=ref_m3, scale=sc) * w3).sum(),
+        (q3, k3, v3, b3),
+        tol=1e-2,   # bf16 operands: one output ulp is ~4e-3
+    )
+
+    # 4. ring attention (flash inner) through shard_map on a 1-device mesh —
+    #    the sequence-parallel path compiled by Mosaic on this chip.
+    from jax.sharding import Mesh
+
+    from ofasys_tpu.parallel.ring_attention import ring_attention
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("sequence",))
+    B4, T4, H4 = 2, max(T // 2, 256), 4
+    q4, k4, v4 = arr(B4, T4, H4, D), arr(B4, T4, H4, D), arr(B4, T4, H4, D)
+    w4 = arr(B4, T4, H4, D) * 0.05
+
+    compare(
+        "ring_flash_causal",
+        lambda q, k, v: (ring_attention(
+            q, k, v, mesh, scale=sc, causal=True, use_flash=True) * w4).sum(),
+        lambda q, k, v: (dot_product_attention(
+            q, k, v, mask=causal_mask(T4, T4), scale=sc) * w4).sum(),
+        (q4, k4, v4),
+    )
+
+    out = {
+        "metric": "pallas-kernel on-chip numerics parity (fwd+bwd vs XLA)",
+        "value": int(all(c["ok"] for c in checks.values())),
+        "unit": "all_checks_pass",
+        "platform": platform,
+        "checks": checks,
+        "vs_baseline": None,
+    }
+    _write_artifact("VERIFY_ONCHIP.json", out)
+    print(json.dumps(out))
+
+
+def run_serving():
+    """Serving benchmark (VERDICT r3 #8): caption-style greedy decode on the
+    real chip for {bf16, int8-w8a8, speculative} — p50 latency at B=1 (16
+    tokens) and batched throughput at B=16. Tunnel RTT is reported so the
+    wall numbers can be read as device + 1 RTT (see measure_decode_latency).
+    Writes SERVING_BENCH.json and prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofasys_tpu import GeneralistModel, ModalityType
+    from ofasys_tpu.generator import SequenceGenerator
+    from ofasys_tpu.generator.speculative import SpeculativeGenerator
+    from ofasys_tpu.ops.quant import quantize_for_serving
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.utils.pytree import SlotBatch
+
+    d = Dictionary()
+    for i in range(VOCAB_EXTRA):
+        d.add_symbol(f"<text>_{i}")
+    d.pad_to_multiple_(128)
+    model = GeneralistModel(arch=ARCH)
+    model.cfg.dropout = 0.0
+    model.initialize(d, active_adaptors=("text", "image_vit"), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+
+    def sample_for(B):
+        img = jnp.asarray(rng.random((B, 224, 224, 3)), jnp.float32)
+        slots = [
+            SlotBatch(ModalityType.IMAGE, True, {"inputs": img}, "img"),
+            SlotBatch(ModalityType.TEXT, False,
+                      {"inputs": jnp.zeros((B, 4), jnp.int32)}, "cap"),
+        ]
+        return {"net_input": {"slots": slots}}, slots
+
+    sample1, slots1 = sample_for(1)
+    sampleN, _ = sample_for(16)
+    params = model.init_params(jax.random.PRNGKey(0), slots1)
+
+    def p50(gen_call, n=30):
+        t0 = time.perf_counter()
+        gen_call()            # compile
+        print(f"  compiled in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+        gen_call()            # warm device-arg caches
+        lats = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            gen_call()
+            lats.append(time.perf_counter() - t0)
+        return float(np.median(lats)) * 1000.0
+
+    results = {}
+
+    def measure(tag, p, draft=None, dp=None):
+        print(f"[serving] {tag}", file=sys.stderr, flush=True)
+        if draft is None:
+            gen = SequenceGenerator(model, d, beam_size=1, max_len_b=16, min_len=15)
+            lat = p50(lambda: gen.generate(p, sample1))
+            thr_ms = p50(lambda: gen.generate(p, sampleN), n=10)
+            results[tag] = {
+                "p50_ms_16tok_b1": round(lat, 2),
+                "throughput_samples_s_b16": round(16 / (thr_ms / 1000.0), 1),
+            }
+        else:
+            gen = SpeculativeGenerator(model, draft, d, gamma=4,
+                                       max_len_b=16, min_len=15)
+            lat = p50(lambda: gen.generate(p, dp, sample1))
+            results[tag] = {"p50_ms_16tok_b1": round(lat, 2)}
+
+    measure("bf16", params)
+    qvars = quantize_for_serving(params)
+    measure("int8_w8a8", qvars)
+
+    # speculative: random-init tiny draft on a random-init base target is the
+    # honest zero-egress setup — acceptance is near-chance, so this measures
+    # the machinery's cost floor, not a trained draft's win (token output is
+    # identical to plain greedy by construction; tests/test_speculative.py).
+    draft = GeneralistModel(arch="tiny")
+    draft.cfg.dropout = 0.0
+    draft.initialize(d, active_adaptors=("text", "image_vit"), dtype=jnp.bfloat16)
+    dparams = draft.init_params(jax.random.PRNGKey(7), slots1)
+    measure("speculative_tiny_draft", params, draft=draft, dp=dparams)
+
+    out = {
+        "metric": f"serving decode ({ARCH} arch, caption-style, greedy)",
+        "value": results["bf16"]["p50_ms_16tok_b1"],
+        "unit": "p50_ms_16tok_b1_bf16",
+        "tunnel_rtt_ms": round(measure_rtt(), 2),
+        "configs": results,
+        "vs_baseline": None,
+    }
+    _write_artifact("SERVING_BENCH.json", out)
+    print(json.dumps(out))
+
+
+def run_longseq():
+    """Long-context training benchmark (VERDICT r3 #2): one text task at
+    T=BENCH_LONGSEQ_T (default 4096) source AND target tokens, flash
+    (Pallas) vs XLA-dense attention at the same shape on the real chip.
+    The dense leg needs layer remat to fit 16GB HBM at T=4096 (a (B,H,T,T)
+    softmax residual per layer is ~0.8GB); the flash leg's stored state is
+    O(T), so it runs remat-free — each leg at its best feasible config,
+    reported explicitly. Writes BENCH_LONGSEQ.json, prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofasys_tpu import GeneralistModel, ModalityType
+    from ofasys_tpu.configure.configs import OptimizationConfig
+    from ofasys_tpu.engine.criterion.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+        LabelSmoothedCrossEntropyCriterionConfig,
+    )
+    from ofasys_tpu.engine.optim import build_optimizer
+    from ofasys_tpu.engine.train_step import TrainState, make_multitask_train_step
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.utils.pytree import SlotBatch
+
+    T = int(os.environ.get("BENCH_LONGSEQ_T", "4096"))
+    B = int(os.environ.get("BENCH_LONGSEQ_B", "2"))
+
+    d = Dictionary()
+    for i in range(VOCAB_EXTRA):
+        d.add_symbol(f"<text>_{i}")
+    d.pad_to_multiple_(128)
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(d.nspecial, d.nspecial + 1000, size=(B, T)), jnp.int32)
+    tgt = np.asarray(rng.integers(d.nspecial, d.nspecial + 1000, size=(B, T)), np.int32)
+    prev = np.concatenate([np.full((B, 1), d.bos(), np.int32), tgt[:, :-1]], 1)
+    batch = {
+        "net_input": {"slots": [
+            SlotBatch(ModalityType.TEXT, True, {"inputs": src}, "src"),
+            SlotBatch(ModalityType.TEXT, False, {"inputs": jnp.asarray(prev)}, "tgt"),
+        ]},
+        "target": jnp.asarray(tgt),
+    }
+
+    def leg(use_flash, remat):
+        model = GeneralistModel(arch=ARCH)
+        model.cfg.dropout = 0.0
+        model.cfg.use_flash_attention = use_flash
+        model.cfg.remat = remat
+        # learned positions must cover the long context (arch default 1024)
+        model.cfg.max_source_positions = T
+        model.cfg.max_target_positions = T
+        # the reference's rel-pos bias gathers a (H, T, T) table per layer —
+        # ~400 MB bf16 per layer at T=4096, infeasible for ANY backend at
+        # long context; long-context configs drop it (both legs equally)
+        model.cfg.use_self_attn_bias = False
+        model.initialize(d, active_adaptors=("text",), dtype=jnp.bfloat16)
+        crit = LabelSmoothedCrossEntropyCriterion(
+            LabelSmoothedCrossEntropyCriterionConfig(), pad_id=d.pad())
+        optimizer = build_optimizer(OptimizationConfig(lr=(1e-4,), warmup_updates=100),
+                                    total_num_update=10000)
+        params = model.init_params(jax.random.PRNGKey(0),
+                                   [batch["net_input"]["slots"]])
+        state = TrainState.create(params, optimizer)
+        fused = make_multitask_train_step(model, {"long_doc": crit}, optimizer)
+        step = jax.jit(fused, donate_argnums=(0,))
+        rngk = jax.random.PRNGKey(1)
+        state, metrics = step(state, {"long_doc": batch}, rngk)
+        _ = float(metrics["gnorm"])
+        steps, chunks = 2, 3
+        rates = []
+        for _ in range(chunks):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = step(state, {"long_doc": batch}, rngk)
+            _ = float(metrics["gnorm"])
+            dt = time.perf_counter() - t0
+            rates.append(dt / steps)
+        rates.sort()
+        sec = rates[len(rates) // 2]
+        E, F = model.cfg.encoder.embed_dim, model.cfg.encoder.ffn_embed_dim
+        Lenc, Ldec = model.cfg.encoder.layers, model.cfg.decoder.layers
+        V = len(d)
+        enc = Lenc * (8 * T * E * E + 4 * T * T * E + 4 * T * E * F)
+        dec_self = Ldec * (8 * T * E * E + 2 * T * T * E)   # causal: half the scores
+        dec_cross = Ldec * (4 * T * E * E + 4 * T * E * E + 4 * T * T * E)
+        dec_ffn = Ldec * (4 * T * E * F)
+        fl = 3.0 * B * (enc + dec_self + dec_cross + dec_ffn + 2 * T * E * V)
+        if remat != "none":
+            # remat recomputes the forward inside the backward: fwd*4 total
+            fl_actual = fl / 3.0 * 4.0
+        else:
+            fl_actual = fl
+        return {
+            "samples_per_sec": round(B / sec, 3),
+            "sec_per_update": round(sec, 3),
+            "mfu_model_flops": round(fl / sec / V5E_BF16_PEAK, 3),
+            "mfu_hw_flops": round(fl_actual / sec / V5E_BF16_PEAK, 3),
+            "remat": remat,
+        }
+
+    flash = leg(True, "none")
+    dense = leg(False, os.environ.get("BENCH_LONGSEQ_DENSE_REMAT", "full"))
+
+    out = {
+        "metric": f"long-context train (text, B={B}, T={T} enc+dec, {ARCH} arch)",
+        "value": flash["samples_per_sec"],
+        "unit": "samples/sec/chip",
+        "flash": flash,
+        "xla_dense": dense,
+        "flash_speedup": round(flash["samples_per_sec"] / dense["samples_per_sec"], 2),
+        "vs_baseline": round(flash["samples_per_sec"] / dense["samples_per_sec"], 2),
+    }
+    _write_artifact("BENCH_LONGSEQ.json", out)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--verify" in sys.argv[1:]:
+        run_verify()
+    elif "--serving" in sys.argv[1:]:
+        run_serving()
+    elif "--longseq" in sys.argv[1:]:
+        run_longseq()
+    else:
+        main()
