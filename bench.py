@@ -906,14 +906,20 @@ def run_longseq():
             LabelSmoothedCrossEntropyCriterionConfig(), pad_id=d.pad())
         optimizer = build_optimizer(OptimizationConfig(lr=(1e-4,), warmup_updates=100),
                                     total_num_update=10000)
+        print(f"[longseq] leg flash={use_flash} remat={remat}: init",
+              file=sys.stderr, flush=True)
         params = model.init_params(jax.random.PRNGKey(0),
                                    [batch["net_input"]["slots"]])
         state = TrainState.create(params, optimizer)
         fused = make_multitask_train_step(model, {"long_doc": crit}, optimizer)
         step = jax.jit(fused, donate_argnums=(0,))
         rngk = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        print("[longseq] compiling + first step", file=sys.stderr, flush=True)
         state, metrics = step(state, {"long_doc": batch}, rngk)
         _ = float(metrics["gnorm"])
+        print(f"[longseq] first step done in {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
         steps, chunks = 2, 3
         rates = []
         for _ in range(chunks):
