@@ -638,6 +638,14 @@ def run_verify():
     def arr(*shape):
         return jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
+    def ploss(out, w):
+        # positive-definite weighted loss: a plain (out*w).sum() over
+        # random-signed terms can cancel to near zero, making loss_rel an
+        # ill-conditioned 0/0 (observed at small BENCH_VERIFY_T); squares
+        # keep the denominator at the scale of the summands while the
+        # cotangent 2*w^2*out still varies per element
+        return jnp.sum(jnp.square(out.astype(jnp.float32) * w))
+
     # 1. flash attention, causal + shared bias + padding mask — the training
     #    configuration that exercises the batch-accumulating shared-dbias
     #    kernel (B=8/H=12 is the shape its win was measured at).
@@ -660,10 +668,10 @@ def run_verify():
 
     compare(
         "flash_causal_bias_mask_dbias",
-        lambda q, k, v, b: (pa.flash_attention(
-            q, k, v, bias=b, mask=mask4, scale=sc, causal=True) * w).sum(),
-        lambda q, k, v, b: (dot_product_attention(
-            q, k, v, bias=b, mask=ref_mask, scale=sc) * w).sum(),
+        lambda q, k, v, b: ploss(pa.flash_attention(
+            q, k, v, bias=b, mask=mask4, scale=sc, causal=True), w),
+        lambda q, k, v, b: ploss(dot_product_attention(
+            q, k, v, bias=b, mask=ref_mask, scale=sc), w),
         (q, k, v, bias),
     )
 
@@ -678,7 +686,7 @@ def run_verify():
     def lse_loss(fn):
         def f(q, k, v, b):
             o, l = fn(q, k, v, b, None, sc, True)
-            return (o * w2).sum() + (l * wl).sum()
+            return ploss(o, w2) + ploss(l, wl)
         return f
 
     compare(
@@ -709,10 +717,10 @@ def run_verify():
 
     compare(
         "dense_short_seq_causal_bias_mask",
-        lambda q, k, v, b: (dense_attention(
-            q, k, v, bias=b, mask=m3, scale=sc, causal=True) * w3).sum(),
-        lambda q, k, v, b: (dot_product_attention(
-            q, k, v, bias=b, mask=ref_m3, scale=sc) * w3).sum(),
+        lambda q, k, v, b: ploss(dense_attention(
+            q, k, v, bias=b, mask=m3, scale=sc, causal=True), w3),
+        lambda q, k, v, b: ploss(dot_product_attention(
+            q, k, v, bias=b, mask=ref_m3, scale=sc), w3),
         (q3, k3, v3, b3),
         tol=1e-2,   # bf16 operands: one output ulp is ~4e-3
     )
@@ -730,10 +738,10 @@ def run_verify():
 
     compare(
         "ring_flash_causal",
-        lambda q, k, v: (ring_attention(
-            q, k, v, mesh, scale=sc, causal=True, use_flash=True) * w4).sum(),
-        lambda q, k, v: (dot_product_attention(
-            q, k, v, mask=causal_mask(T4, T4), scale=sc) * w4).sum(),
+        lambda q, k, v: ploss(ring_attention(
+            q, k, v, mesh, scale=sc, causal=True, use_flash=True), w4),
+        lambda q, k, v: ploss(dot_product_attention(
+            q, k, v, mask=causal_mask(T4, T4), scale=sc), w4),
         (q4, k4, v4),
     )
 

@@ -1,0 +1,53 @@
+"""The bench.py artifact modes must stay runnable (VERDICT r3 #2/#5/#8).
+
+bench.py is the driver's round-end measurement contract; these tests keep
+its opt-in modes importable and run the --verify harness end to end in
+interpret mode at small shapes (the on-chip artifact VERIFY_ONCHIP.json is
+produced by the same code path on the real chip). The serving/longseq modes
+compile multi-minute programs, so here we only check their pieces resolve.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # keep artifact writes off the repo root during tests
+    monkeypatch.setattr(
+        mod, "_write_artifact",
+        lambda name, payload: (tmp_path / name).write_text(json.dumps(payload)),
+    )
+    mod._test_artifact_dir = tmp_path
+    return mod
+
+
+def test_verify_mode_passes_interpret(bench, monkeypatch):
+    """All four kernel-parity checks pass at small shapes in interpret mode."""
+    monkeypatch.setenv("BENCH_VERIFY_T", "128")
+    bench.run_verify()
+    out = json.loads((bench._test_artifact_dir / "VERIFY_ONCHIP.json").read_text())
+    assert out["value"] == 1, out
+    assert set(out["checks"]) == {
+        "flash_causal_bias_mask_dbias",
+        "flash_with_lse_causal",
+        "dense_short_seq_causal_bias_mask",
+        "ring_flash_causal",
+    }
+    for name, c in out["checks"].items():
+        assert c["ok"], (name, c)
+
+
+def test_mode_dispatch_entries_exist(bench):
+    for fn in ("run_verify", "run_serving", "run_longseq", "main"):
+        assert callable(getattr(bench, fn))
