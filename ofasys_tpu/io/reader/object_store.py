@@ -48,6 +48,23 @@ class ObjectStoreLineReader(BaseReader):
         self.open()
         return self._lines[index]
 
+    def iter_lines(self, open_stream: Callable[[str], Any],
+                   chunk_bytes: int = 1 << 16, max_chunks: int = 16):
+        """STREAM the object's lines without materializing it (the
+        reference's FIFO-buffer OSS path, io/reader/utils.py:167-258, as a
+        background-prefetched line reader — io/reader/streaming.py).
+
+        ``open_stream(url)`` must return a file-like with ``read(n)`` —
+        an OSS GetObject body, an http response, or a test fake. Yields
+        decoded lines; epoch-style sequential consumption only (random
+        access goes through read())."""
+        from ofasys_tpu.io.reader.streaming import StreamingLineReader
+
+        src = open_stream(self.url)
+        for raw in StreamingLineReader(src, chunk_bytes=chunk_bytes,
+                                       max_chunks=max_chunks):
+            yield raw.decode("utf-8")
+
 
 class OssTextBinReader(BaseReader):
     """Fixed-length binary token blocks for LM pretraining (reference

@@ -1,0 +1,101 @@
+"""Streaming line reader (io/reader/streaming.py) — the FIFO-buffer OSS
+path of the reference (ofasys/io/reader/utils.py:167-258) rebuilt as a
+bounded background-prefetch stream."""
+
+import threading
+import time
+
+import pytest
+
+from ofasys_tpu.io.reader.streaming import PrefetchByteStream, StreamingLineReader
+
+
+class ChunkySource:
+    """File-like that doles out bytes in awkward chunk sizes (splits lines
+    across reads) and counts calls."""
+
+    def __init__(self, payload: bytes, sizes=(3, 1, 7, 2)):
+        self.payload = payload
+        self.pos = 0
+        self.sizes = sizes
+        self.calls = 0
+
+    def read(self, n: int) -> bytes:
+        self.calls += 1
+        if self.pos >= len(self.payload):
+            return b""
+        take = min(self.sizes[self.calls % len(self.sizes)], n,
+                   len(self.payload) - self.pos)
+        out = self.payload[self.pos:self.pos + take]
+        self.pos += take
+        return out
+
+
+def test_lines_across_chunk_boundaries():
+    payload = b"alpha\tbeta\n\ngamma\nunterminated-tail"
+    r = StreamingLineReader(ChunkySource(payload), chunk_bytes=4, max_chunks=2)
+    assert list(r) == [b"alpha\tbeta", b"", b"gamma", b"unterminated-tail"]
+
+
+def test_empty_final_record_distinguished_from_eof():
+    r = StreamingLineReader(ChunkySource(b"a\n\n"))
+    assert list(r) == [b"a", b""]
+    r2 = StreamingLineReader(ChunkySource(b"a\n"))
+    assert list(r2) == [b"a"]
+    assert StreamingLineReader(ChunkySource(b"")).readline() is None
+
+
+def test_readn_exact_and_eof_short():
+    r = StreamingLineReader(ChunkySource(bytes(range(100, 130))), chunk_bytes=4)
+    assert r.readn(10) == bytes(range(100, 110))
+    assert r.readn(5) == bytes(range(110, 115))
+    assert r.readn(100) == bytes(range(115, 130))   # short at EOF
+    assert r.readn(4) == b""
+
+
+def test_prefetch_bounded_and_complete():
+    payload = b"".join(b"line-%04d\n" % i for i in range(2000))
+
+    class Plain:
+        def __init__(self):
+            self.pos = 0
+
+        def read(self, n):
+            out = payload[self.pos:self.pos + n]
+            self.pos += n
+            return out
+
+    s = PrefetchByteStream(Plain(), chunk_bytes=64, max_chunks=4)
+    got = []
+    while True:
+        b = s.read(1000)
+        if not b:
+            break
+        got.append(b)
+    assert b"".join(got) == payload
+
+
+def test_source_error_surfaces_on_consumer():
+    class Boom:
+        def __init__(self):
+            self.calls = 0
+
+        def read(self, n):
+            self.calls += 1
+            if self.calls > 2:
+                raise IOError("connection reset")
+            return b"x" * 8
+
+    s = PrefetchByteStream(Boom(), chunk_bytes=8, max_chunks=2)
+    with pytest.raises(IOError):
+        while s.read(64):
+            pass
+
+
+def test_object_store_iter_lines(tmp_path):
+    from ofasys_tpu.io.reader.object_store import ObjectStoreLineReader
+
+    payload = "q1\ta1\nq2\ta2\nq3\ta3"
+    r = ObjectStoreLineReader("oss://bucket/obj.tsv")
+    lines = list(r.iter_lines(lambda url: ChunkySource(payload.encode())))
+    assert lines == ["q1\ta1", "q2\ta2", "q3\ta3"]
