@@ -126,14 +126,21 @@ def _make_bias_gather(bucket_np: np.ndarray, n_buckets: int, dtype):
     Tq, Tk = bucket_np.shape
     nbu = int(used.size)
 
+    def _gather_impl(tables):                            # (L, nb, H)
+        # transpose the TABLES (tiny: L x nb x H), not the gathered output:
+        # indexing the minor axis of (L, H, nb) writes (L, H, Tq, Tk)
+        # directly in the layout attention consumes. The previous
+        # gather-then-transpose form lowered to a (Tq*Tk, L, H) row gather
+        # at 12 GB/s (2% of HBM peak, r4 roofline) plus a full-size copy.
+        tt = jnp.transpose(tables, (0, 2, 1))            # (L, H, nb)
+        return tt[:, :, jnp.asarray(bucket_np)]          # (L, H, Tq, Tk)
+
     @jax.custom_vjp
-    def gather(tables):                                  # (L, nb, H)
-        rel = tables[:, jnp.asarray(bucket_np)]          # (L, Tq, Tk, H)
-        return jnp.transpose(rel, (0, 3, 1, 2))          # (L, H, Tq, Tk)
+    def gather(tables):
+        return _gather_impl(tables)
 
     def fwd(tables):
-        rel = tables[:, jnp.asarray(bucket_np)]
-        return jnp.transpose(rel, (0, 3, 1, 2)), None
+        return _gather_impl(tables), None
 
     def bwd(_, g):                                       # g (L, H, Tq, Tk)
         L, H = g.shape[:2]
