@@ -406,3 +406,159 @@ def check_converted_params(converted: Dict[str, Any], model, dummy, name: str,
         logger.warning("%s: %d unconsumed checkpoint leaves: %s%s", name,
                        len(unconsumed), unconsumed[:10],
                        "..." if len(unconsumed) > 10 else "")
+
+
+# ------------------------------------------------------------------- CLI
+def _dummy_slots(active_adaptors):
+    """One tiny SlotBatch per adaptor so flax materializes its params
+    (model/ofa.py:init_params traces every slot plan once)."""
+    import jax.numpy as jnp
+
+    from ofasys_tpu import ModalityType
+    from ofasys_tpu.utils.pytree import SlotBatch
+
+    slots = []
+    for name in active_adaptors:
+        if name == "text":
+            continue                     # the text target below covers it
+        if name in ("image_resnet", "image_vit"):
+            slots.append(SlotBatch(
+                ModalityType.IMAGE, True,
+                {"inputs": jnp.zeros((1, 224, 224, 3), jnp.float32)}, name))
+        elif name == "image_vqgan":
+            slots.append(SlotBatch(
+                ModalityType.IMAGE, False,
+                {"inputs": jnp.zeros((1, 16), jnp.int32)}, name,
+                attributes=("adaptor=image_vqgan",)))
+        elif name in ("audio_fbank",):
+            slots.append(SlotBatch(
+                ModalityType.AUDIO, True,
+                {"inputs": jnp.zeros((1, 80, 80), jnp.float32)}, name))
+        elif name == "audio_tgt_fbank":
+            slots.append(SlotBatch(
+                ModalityType.AUDIO, False,
+                {"inputs": jnp.zeros((1, 40, 80), jnp.float32)}, name,
+                attributes=("adaptor=audio_tgt_fbank",)))
+        elif name == "video_image_sequence":
+            slots.append(SlotBatch(
+                ModalityType.VIDEO, True,
+                {"inputs": jnp.zeros((1, 2, 64, 64, 3), jnp.float32)}, name))
+        elif name == "motion_6d":
+            slots.append(SlotBatch(
+                ModalityType.MOTION, False,
+                {"inputs": jnp.zeros((1, 8, 135), jnp.float32)}, name,
+                attributes=("adaptor=motion_6d",)))
+        else:
+            raise SystemExit(f"don't know how to build a dummy slot for "
+                             f"adaptor {name!r}")
+    src = SlotBatch(ModalityType.TEXT, True,
+                    {"inputs": jnp.zeros((1, 4), jnp.int32)}, "src")
+    tgt = SlotBatch(ModalityType.TEXT, False,
+                    {"inputs": jnp.zeros((1, 4), jnp.int32)}, "tgt")
+    # one slot list per source adaptor keeps each plan's trace small
+    lists = [[src, tgt]]
+    for s in slots:
+        lists.append([s, tgt] if s.is_src else [src, s])
+    return lists
+
+
+def main(argv=None):
+    """Convert a reference torch checkpoint into a hub-loadable one:
+
+        python -m ofasys_tpu.utils.torch_import ref.pt out_dir \\
+            --arch base --adaptors text,image_resnet [--dict vocab.txt]
+
+    Without --dict the vocabulary is sized from the checkpoint's token
+    embedding and filled with placeholder symbols — token ids then line up
+    but readable symbols need the original vocab file. The output directory
+    loads with ``OFASys.from_pretrained(out_dir + '/checkpoint_last')``.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=main.__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("ckpt", help="reference .pt checkpoint")
+    ap.add_argument("out_dir", help="output checkpoint directory")
+    ap.add_argument("--arch", default="base")
+    ap.add_argument("--adaptors", default="text",
+                    help="comma list, e.g. text,image_resnet,audio_fbank")
+    ap.add_argument("--dict", dest="dict_path", default=None,
+                    help="vocabulary file (Dictionary.load format)")
+    ap.add_argument("--preprocessors", default="text",
+                    help="comma list whose special symbols register into "
+                         "the dictionary before the model is sized")
+    ap.add_argument("--strict", action="store_true",
+                    help="fail on any unmapped model parameter")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ofasys_tpu import GeneralistModel
+    from ofasys_tpu.configure import to_dict
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    from ofasys_tpu.utils import checkpoint_utils
+
+    from ofasys_tpu.preprocessor.general import GeneralPreprocess
+
+    sd = load_torch_checkpoint(args.ckpt)
+    preprocessors = [p.strip() for p in args.preprocessors.split(",") if p.strip()]
+    if args.dict_path:
+        with open(args.dict_path) as f:
+            d = Dictionary.load(f)
+        GeneralPreprocess(d, active=preprocessors)
+    else:
+        embed_key = "encoder.adaptor.embed_tokens.weight"
+        if embed_key not in sd:
+            raise SystemExit(
+                f"--dict not given and {embed_key!r} not in the checkpoint; "
+                "cannot infer vocabulary size")
+        vocab = int(sd[embed_key].shape[0])
+        d = Dictionary()
+        # preprocessors register their special symbols FIRST — exactly the
+        # trainer flow, and what from_pretrained assumes of the saved dict
+        # (hub_interface.py raises if the embedding is smaller than the
+        # rebuilt dictionary)
+        GeneralPreprocess(d, active=preprocessors)
+        i = 0
+        while len(d) < vocab:
+            d.add_symbol(f"<imported>_{i}")
+            i += 1
+        if len(d) > vocab:
+            logger.warning(
+                "dictionary (%d) exceeds checkpoint vocab (%d) after "
+                "preprocessor symbols — embedding rows will be repadded",
+                len(d), vocab)
+        logger.warning("vocabulary inferred from checkpoint: placeholder "
+                       "symbols — supply --dict for readable tokens")
+
+    adaptors = tuple(a.strip() for a in args.adaptors.split(",") if a.strip())
+    model = GeneralistModel(arch=args.arch)
+    model.cfg.dropout = 0.0
+    model.initialize(d, active_adaptors=adaptors, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0), _dummy_slots(adaptors))
+    params, missing, unused = import_reference_state_dict(
+        sd, params, strict=args.strict)
+    print(f"imported: {len(jax.tree_util.tree_leaves(params))} leaves, "
+          f"{len(missing)} left at random init, "
+          f"{len(unused)} checkpoint keys unused")
+    if missing:
+        print("  random-init (first 10):", missing[:10])
+
+    meta = {
+        "num_updates": 0,
+        "configstore": {},
+        "global_dict": d.state_dict(),
+        "model_cfg": to_dict(model.cfg),
+        "active_adaptors": list(adaptors),
+    }
+    checkpoint_utils.save_checkpoint(
+        args.out_dir, "checkpoint_last", {"params": params, "step": 0},
+        meta=meta)
+    print(f"wrote {args.out_dir}/checkpoint_last "
+          f"(load with OFASys.from_pretrained)")
+
+
+if __name__ == "__main__":
+    main()
