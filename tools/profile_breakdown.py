@@ -57,10 +57,27 @@ CATEGORIES = (
 )
 
 
+_OPCODE_RE = re.compile(r"=\s*(?:\([^=]*?\)|\S+)\s+([a-z][a-z0-9_-]*)\(")
+
+
+def _opcode(name: str) -> str:
+    """The HLO opcode of an event named with full HLO text
+    ('%copy.12 = bf16[...] copy(%fusion.3)' -> 'copy'). Falls back to the
+    event name's base ('%self_attn.238' -> 'self_attn'). Classifying on
+    the WHOLE text counts any op that merely CONSUMES a %transpose.N /
+    %copy.N operand as a copy — the r3/r4 'layout copies are 11%' artifact
+    (true per-opcode copies measured ~3 ms of a 176 ms update)."""
+    m = _OPCODE_RE.search(name)
+    if m:
+        return m.group(1)
+    return name.lstrip("%").split(" ", 1)[0].split(".", 1)[0]
+
+
 def categorize(name: str, matmul_fusions=None) -> str:
+    op = _opcode(name).lower()
     low = name.lower()
     for cat, pat in CATEGORIES:
-        if re.search(pat, low):
+        if re.search(pat, op):
             if cat == "matmul/fusion" and matmul_fusions is not None:
                 # split by whether the fusion's computation contains a
                 # dot/convolution (classified from the compiled HLO at
@@ -68,7 +85,7 @@ def categorize(name: str, matmul_fusions=None) -> str:
                 base = name.lstrip("%").split(" ", 1)[0]
                 if base in matmul_fusions or "dot" in low.split(" = ")[0]:
                     return "fusion: matmul/conv"
-                if "fusion" in low:
+                if "fusion" in op:
                     return "fusion: bandwidth (elementwise/reduce)"
             return cat
     return "other"
