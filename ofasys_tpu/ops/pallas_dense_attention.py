@@ -382,17 +382,36 @@ def _backward(q, k, v, bias, mask, lse, do, scale, causal, H):
 # step: every dot_general gains a G-sized batch dimension and every softmax
 # /mask/bias pass runs on (G, Tq, Tk) at G-times the vector utilization.
 def _pick_g(B, Tq, Tk, E, H, backward):
-    """Largest divisor of B whose VMEM working set stays under ~10 MB."""
-    # IO blocks: fwd q,o (Tq) + k,v (Tk); bwd q,do,dq (Tq) + k,v,dk,dv (Tk)
-    # + the (E, Tq) dq^T scratch; live fp32 (Tq, Tk) score temps: ~2 | ~3
-    n_q, n_k = (3, 4) if backward else (2, 2)
-    n_scores = 3 if backward else 2
+    """Largest divisor of B the kernel compiles AND profits at.
+
+    Backward: conservative byte model under ~10 MB (G=2 at T≈200 already
+    fails Mosaic scoped-VMEM compile — measured r4; G stays 1 there).
+
+    Forward: calibrated against an r4 on-chip compile/speed sweep at the
+    production shapes — a pure byte model could NOT separate the compile
+    failures from the passes ((128,64) G=16 fails at a SMALLER estimated
+    working set than (48,212) G=4, which passes). What does separate all
+    8 sweep points is the block row count: g*max(Tq,Tk) <= 848 compiled
+    everywhere (784/848/512/480) and >= 960 failed everywhere
+    (1568/1696/1024/960), with a ~10 MB single-buffered byte cap as a
+    second guard. Speed at the passing picks: 0.258 -> 0.214 ms (64,196),
+    0.205 -> 0.178 (48,212) vs the old G=2."""
+    if backward:
+        n_q, n_k, n_scores = 3, 4, 3
+        for g in range(min(B, 64), 0, -1):
+            if B % g:
+                continue
+            io = 2 * g * (n_q * Tq + n_k * Tk) * E * 2   # 2x double-buffer
+            sc = g * Tq * Tk * 4 * n_scores + g * E * Tq * 2
+            if io + sc + H * Tq * Tk * 6 < 10 * 1024 * 1024:
+                return g
+        return 1
     for g in range(min(B, 64), 0, -1):
-        if B % g:
+        if B % g or g * max(Tq, Tk) > 848:
             continue
-        io = 2 * g * (n_q * Tq + n_k * Tk) * E * 2   # 2x: pipeline double-buffer
-        sc = g * Tq * Tk * 4 * n_scores + g * E * Tq * 2 * backward
-        if io + sc + H * Tq * Tk * 6 < 10 * 1024 * 1024:
+        io = g * (2 * Tq + 2 * Tk) * E * 2               # single-buffered
+        sc = 2 * g * Tq * Tk * 4
+        if io + sc + H * Tq * Tk * 2 <= 10 * 1024 * 1024:
             return g
     return 1
 
