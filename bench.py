@@ -725,6 +725,27 @@ def run_verify():
         tol=1e-2,   # bf16 operands: one output ulp is ~4e-3
     )
 
+    # 3b. dense kernel at the caption-ENCODER production shape (64, 196):
+    #     non-causal + bias + mask — exercises the calibrated G=4 forward
+    #     grid (r4 sweep) and the G=1 transposed backward at T~200.
+    T3b = max(min(T, 196), 64)
+    q5 = arr(B3, T3b, H, D).astype(bf16)
+    k5 = arr(B3, T3b, H, D).astype(bf16)
+    v5 = arr(B3, T3b, H, D).astype(bf16)
+    b5 = (arr(1, H, T3b, T3b) * 0.1).astype(bf16)
+    m5 = jnp.asarray(np.asarray(rng.random((B3, T3b)) > 0.1))[:, None, None, :]
+    w5 = arr(B3, T3b, H, D) * 0.05
+
+    compare(
+        "dense_encoder_shape_bias_mask",
+        lambda q, k, v, b: ploss(dense_attention(
+            q, k, v, bias=b, mask=m5, scale=sc), w5),
+        lambda q, k, v, b: ploss(dot_product_attention(
+            q, k, v, bias=b, mask=m5, scale=sc), w5),
+        (q5, k5, v5, b5),
+        tol=1e-2,
+    )
+
     # 4. ring attention (flash inner) through shard_map on a 1-device mesh —
     #    the sequence-parallel path compiled by Mosaic on this chip.
     from jax.sharding import Mesh

@@ -42,6 +42,7 @@ def test_verify_mode_passes_interpret(bench, monkeypatch):
         "flash_causal_bias_mask_dbias",
         "flash_with_lse_causal",
         "dense_short_seq_causal_bias_mask",
+        "dense_encoder_shape_bias_mask",
         "ring_flash_causal",
     }
     for name, c in out["checks"].items():
