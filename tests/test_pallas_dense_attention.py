@@ -131,3 +131,25 @@ def test_model_dispatch_interpret():
     np.testing.assert_allclose(
         np.asarray(outs["xla"]), np.asarray(outs["pallas"]), rtol=2e-3, atol=2e-3
     )
+
+
+def test_pick_g_calibrated_production_shapes():
+    """The r4 on-chip compile/speed sweep pinned these picks; a regression
+    to smaller G loses the measured ~17% forward win at T~200, a larger G
+    fails Mosaic compile (g*max(T) >= 960 failed everywhere in the sweep).
+    See _pick_g's docstring for the calibration data."""
+    from ofasys_tpu.ops.pallas_dense_attention import _pick_g
+
+    E, H = 768, 12
+    # forward: (shape) -> sweep-verified pick
+    assert _pick_g(64, 196, 196, E, H, backward=False) == 4
+    assert _pick_g(48, 212, 212, E, H, backward=False) == 4
+    assert _pick_g(128, 64, 64, E, H, backward=False) == 8
+    assert _pick_g(32, 120, 120, E, H, backward=False) == 4
+    # the compile-failure boundary must stay excluded
+    for B, T in ((64, 196), (48, 212), (32, 120)):
+        g = _pick_g(B, T, T, E, H, backward=False)
+        assert g * T <= 848, (B, T, g)
+    # backward: G=2 at T~200 fails Mosaic scoped-VMEM — must stay 1
+    assert _pick_g(64, 196, 196, E, H, backward=True) == 1
+    assert _pick_g(48, 212, 212, E, H, backward=True) == 1
