@@ -31,6 +31,12 @@ class LabelSmoothedCrossEntropyCriterionConfig(CriterionConfig):
     ignore_eos: bool = False
     drop_worst_ratio: float = 0.0
     drop_worst_after: int = 0
+    # fuse the tied-embedding logits projection INTO the loss: the (N, V)
+    # logits/dlogits tensors never round-trip HBM (see ops/fused_ce.py).
+    # Applies only when the target is a plain tied-text projection with no
+    # constraint masks / accuracy reporting; other cases silently use the
+    # standard path.
+    chunked_vocab: bool = False
 
 
 @register_config("ofasys.criterion", "label_smoothed_cross_entropy", LabelSmoothedCrossEntropyCriterionConfig)
@@ -45,14 +51,86 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
             logits, extra, aux = model.apply(
                 params, slots, deterministic=False, rngs=rngs, with_aux_losses=True
             )
-            loss, sample_size, logging = self.compute_loss(logits, sample, train=train)
+            fused = self._fused_plan(params, extra, sample, logits)
+            if fused is not None:
+                loss, sample_size, logging = self.compute_loss_fused(
+                    *fused, sample, train=train
+                )
+            else:
+                loss, sample_size, logging = self.compute_loss(logits, sample, train=train)
             w = float(getattr(model.cfg, "moe_aux_weight", 0.01))
             loss = loss + w * aux * sample_size
             logging = dict(logging)
             logging["moe_aux"] = aux * sample_size
             return loss, sample_size, logging
         logits, extra = model.apply(params, slots, deterministic=not train, rngs=rngs)
+        fused = self._fused_plan(params, extra, sample, logits)
+        if fused is not None:
+            # logits is now dead: XLA dead-code-eliminates the unfused
+            # projection GEMM from the traced graph
+            return self.compute_loss_fused(*fused, sample, train=train)
         return self.compute_loss(logits, sample, train=train)
+
+    # ------------------------------------------- chunked-vocab fused path
+    def _fused_plan(self, variables, extra, sample, logits):
+        """(hidden (N,E), emb (V,E), n_chunks) when the chunked-vocab fused
+        CE applies, else None. Static gate, evaluated once per trace."""
+        cfg = self.cfg
+        if not getattr(cfg, "chunked_vocab", False) or cfg.report_accuracy:
+            return None
+        if sample.get("constraint_masks") is not None:
+            return None
+        x = (extra or {}).get("decoder_hidden")
+        if x is None or x.ndim != 3:
+            return None
+        target = sample["target"]
+        if target.ndim != 2 or not jnp.issubdtype(target.dtype, jnp.integer):
+            return None
+        if x.shape[:2] != target.shape:
+            return None
+        try:
+            p = variables["params"] if "params" in variables else variables
+            emb = p["embed_tokens"]["embedding"]
+        except (KeyError, TypeError):
+            return None
+        if getattr(emb, "ndim", 0) != 2 or logits.shape[-1] != emb.shape[0]:
+            return None
+        # untied projection / output bias: the virtual logits would not be
+        # x @ emb^T — bail to the standard path
+        from jax.tree_util import tree_flatten_with_path
+
+        for path, _ in tree_flatten_with_path(p)[0]:
+            names = {str(getattr(k, "key", "")) for k in path}
+            if "_output_projection" in names or "_output_bias" in names:
+                return None
+        from ofasys_tpu.ops.fused_ce import pick_chunks
+
+        n_chunks = pick_chunks(emb.shape[0])
+        if n_chunks is None:
+            return None
+        B, T, E = x.shape
+        return x.reshape(B * T, E), emb, n_chunks
+
+    def compute_loss_fused(self, x2, emb, n_chunks, sample, train: bool = True):
+        """Identical loss to compute_loss, with (lse, z_t, rowsum) computed
+        chunk-by-chunk over the vocab so the (N, V) logits/dlogits never
+        materialize (ops/fused_ce.py)."""
+        from ofasys_tpu.ops.fused_ce import chunked_ce_stats
+
+        cfg = self.cfg
+        target = sample["target"]
+        B, T = target.shape
+        V = emb.shape[0]
+        tgt = target.reshape(B * T)
+        lse, z_t, zsum = chunked_ce_stats(x2, emb, tgt, n_chunks, x2.dtype)
+        nll_pos = lse - z_t
+        smooth = -(zsum - V * lse)
+        n_allowed = jnp.float32(V - 1)
+        valid = tgt != self.pad_id
+        if cfg.ignore_eos:
+            valid = valid & (tgt != getattr(self, "eos_id", 2))
+        return self._reduce(nll_pos, smooth, n_allowed, valid, tgt, sample,
+                            B, train)
 
     def compute_loss(self, logits: jax.Array, sample, train: bool = True):
         cfg = self.cfg
@@ -73,8 +151,10 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
         tgt = target.reshape(B * T)
         valid = tgt != pad_id
         if cfg.ignore_eos:
-            # exclude EOS positions from the loss (flag parity with the
-            # reference's criterion surface; eos_id set at build time)
+            # exclude EOS positions from the loss. NOT a reference-parity
+            # surface: the OFASys criterion has no ignore_eos flag (only
+            # ignore_prefix_size) — this is a local opt-in extra, default
+            # False, with OFA-style semantics; eos_id set at build time
             valid = valid & (tgt != getattr(self, "eos_id", 2))
         zmax = jax.lax.stop_gradient(jnp.max(zf, axis=-1, keepdims=True))
         lse = zmax[:, 0] + jnp.log(jnp.sum(jnp.exp(zf - zmax), axis=-1))
@@ -95,6 +175,12 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
         else:
             smooth = -(jnp.sum(zf, axis=-1) - V * lse)
             n_allowed = jnp.float32(V - 1)
+        return self._reduce(nll_pos, smooth, n_allowed, valid, tgt, sample,
+                            B, train, z=z)
+
+    def _reduce(self, nll_pos, smooth, n_allowed, valid, tgt, sample, B,
+                train, z=None):
+        cfg = self.cfg
         eps_i = cfg.label_smoothing / n_allowed
         loss_pos = (1.0 - cfg.label_smoothing - eps_i) * nll_pos + eps_i * smooth
         loss_pos = jnp.where(valid, loss_pos, 0.0)
@@ -135,7 +221,7 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
             "nsentences": B,
             "sample_size": sample_size,
         }
-        if cfg.report_accuracy:
+        if cfg.report_accuracy and z is not None:
             pred = jnp.argmax(z, axis=-1)              # monotone under the f32 cast
             logging_out["n_correct"] = jnp.where(valid, pred == tgt, False).sum()
             logging_out["total"] = ntokens

@@ -75,13 +75,22 @@ class AutoRegressiveSpeechGenerator:
         # batch carries them (reference SpeechGeneratorOutput.targ_feature)
         targ = sample.get("target")
         targ = np.asarray(targ) if targ is not None else None
+        # reference speech_generator.py:193-198 gcmvn-denormalizes the target
+        # features and slices each sample to its true length before attaching
+        # it, so eval-side feature/waveform comparison sees matched spaces
+        targ_lens = sample.get("target_lengths")
+        targ_lens = np.asarray(targ_lens) if targ_lens is not None else None
         outs = []
         for b in range(B):
             L = int(lengths[b])
+            tf = None
+            if targ is not None and targ.ndim >= 3:
+                tl = int(targ_lens[b]) if targ_lens is not None else targ.shape[1]
+                tf = self.gcmvn_denormalize(targ[b, :tl])
             outs.append(SpeechGeneratorOutput(
                 feature=self.gcmvn_denormalize(frames[b, :L]),
                 eos_prob=eos_probs[b, :L],
-                targ_feature=targ[b] if targ is not None and targ.ndim >= 3 else None,
+                targ_feature=tf,
             ))
         return outs
 

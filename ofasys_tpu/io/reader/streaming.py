@@ -36,6 +36,13 @@ class PrefetchByteStream:
     buffered ahead). ``read(n)`` drains the queue; EOF is an empty bytes
     sentinel. Errors raised by the source are re-raised on the consumer
     thread at the read() that would have returned the failed chunk.
+
+    ``close()`` cancels the producer (it checks a flag around every bounded
+    ``put``, so it can never block forever on an abandoned stream) and
+    closes the underlying source; also usable as a context manager, and
+    ``__del__`` closes as a last resort so a consumer that breaks out of
+    iteration mid-stream does not leak the thread or the object-store
+    connection.
     """
 
     def __init__(self, source, chunk_bytes: int = 1 << 16, max_chunks: int = 16):
@@ -45,20 +52,37 @@ class PrefetchByteStream:
         self._err: Optional[BaseException] = None
         self._leftover = b""
         self._eof = False
+        self._cancelled = threading.Event()
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
     def _produce(self):
         try:
-            while True:
+            while not self._cancelled.is_set():
                 data = self._source.read(self._chunk)
                 if not data:
                     break
-                self._q.put(data)
+                # bounded put that stays responsive to close(): re-check the
+                # cancel flag instead of blocking forever on a full queue
+                while not self._cancelled.is_set():
+                    try:
+                        self._q.put(data, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:          # noqa: BLE001 — re-raised on consumer
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            # the sentinel MUST reach the consumer (a dropped sentinel hangs
+            # read() forever) — keep trying unless close() cancelled us
+            # (close re-adds its own sentinel after draining)
+            while True:
+                try:
+                    self._q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._cancelled.is_set():
+                        break
 
     def read(self, n: int = -1) -> bytes:
         """Up to ``n`` bytes (all remaining if n < 0); b'' at EOF."""
@@ -80,6 +104,44 @@ class PrefetchByteStream:
             buf = buf[:n]
         return buf
 
+    def close(self):
+        """Cancel the producer and close the underlying source (idempotent)."""
+        if self._cancelled.is_set():
+            return
+        self._cancelled.set()
+        # drain so a producer blocked in put() sees the flag promptly
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=1.0)
+        self._eof = True
+        # consumer-side reads after close() terminate immediately
+        try:
+            self._q.put_nowait(_SENTINEL)
+        except queue.Full:
+            pass
+        close = getattr(self._source, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
 
 class StreamingLineReader:
     """Line records over a (prefetched) byte stream — the reference
@@ -91,16 +153,30 @@ class StreamingLineReader:
                  prefetch: bool = True):
         self._s = (PrefetchByteStream(source, chunk_bytes, max_chunks)
                    if prefetch else source)
+        self._chunk = chunk_bytes
         self._buf = b""
         self._eof = False
 
     def _fill(self) -> bool:
-        data = self._s.read(1 << 16)
+        data = self._s.read(self._chunk)
         if not data:
             self._eof = True
             return False
         self._buf += data
         return True
+
+    def close(self):
+        close = getattr(self._s, "close", None)
+        if close is not None:
+            close()
+        self._eof = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def readline(self) -> Optional[bytes]:
         """Next line WITHOUT its terminator; None past the last record

@@ -61,6 +61,11 @@ class TaskConfig(BaseDataclass):
     evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
     generation: GenerationConfig = field(default_factory=GenerationConfig)
     criterion: str = "label_smoothed_cross_entropy"
+    # per-task overrides applied onto the registered criterion config (the
+    # reference configures criterion args per task node,
+    # configure/configs.py criterion group); YAML accepts either
+    # `criterion: name` or `criterion: {name: ..., field: value, ...}`
+    criterion_args: Dict[str, Any] = field(default_factory=dict)
     micro_batch_size: Optional[int] = None
 
 
@@ -140,9 +145,12 @@ class Task:
 
         store = ConfigStore()
         crit_node = store.get("ofasys.criterion", self.cfg.criterion)
-        self.criterion = crit_node.target_cls(
-            copy.deepcopy(crit_node.config), pad_id=global_dict.pad()
-        )
+        crit_cfg = copy.deepcopy(crit_node.config)
+        if getattr(self.cfg, "criterion_args", None):
+            from ofasys_tpu.configure.config_store import update_config
+
+            update_config(crit_cfg, **dict(self.cfg.criterion_args))
+        self.criterion = crit_node.target_cls(crit_cfg, pad_id=global_dict.pad())
         # criteria that project onto sub-vocabs (speech_pretrain MAM) need
         # the dictionary's namespace ranges; eos_id backs the ignore_eos flag
         self.criterion.global_dict = global_dict
@@ -389,7 +397,14 @@ class Task:
         (reference task/base.py:617)."""
         it = self.get_batch_iterator(split, rank=rank, world_size=world_size)
         hyps: List[str] = []
-        refs: List[Any] = []
+        # per-metric raw references: a preprocessor may have stashed a
+        # metric's target_field (e.g. raw strings, SQL golds) in the collated
+        # batch via sample_extra. The reference resolves refs per metric
+        # (task/base.py:673 `refs = sample[metric.cfg.target_field]`), so each
+        # metric gets its own refs list keyed by its target_field, falling
+        # back to the decoded target only for that metric.
+        fields = {m.cfg.target_field for m in self.metrics} or {"target"}
+        refs_by_field: Dict[str, List[Any]] = {f: [] for f in fields}
         for i, batch in enumerate(it.next_epoch_itr(shuffle=False)):
             if max_batches is not None and i >= max_batches:
                 break
@@ -398,20 +413,21 @@ class Task:
             for b, out in enumerate(outputs[:n_valid]):
                 hyps.append(out[0].text if out[0].text is not None else
                             self.general_preprocess.name2pre["text"].decode(out[0].tokens))
-                # per-metric raw references: a preprocessor may have stashed
-                # the metric's target_field (e.g. raw strings, SQL golds) in
-                # the collated batch via sample_extra (reference
-                # task/base.py:673 `refs = sample[metric.cfg.target_field]`)
-                tf = {m.cfg.target_field for m in self.metrics} - {"target"}
-                raw = batch.get(next(iter(tf))) if len(tf) == 1 else None
-                if raw is not None and b < len(raw):
-                    refs.append(raw[b])
-                else:
-                    target = np.asarray(batch["target"])[b]
-                    refs.append(self.general_preprocess.name2pre["text"].decode(target))
+                decoded = None
+                for field in fields:
+                    raw = batch.get(field) if field != "target" else None
+                    if raw is not None and b < len(raw):
+                        refs_by_field[field].append(raw[b])
+                    else:
+                        if decoded is None:
+                            target = np.asarray(batch["target"])[b]
+                            decoded = self.general_preprocess.name2pre["text"].decode(target)
+                        refs_by_field[field].append(decoded)
         results: Dict[str, float] = {}
         for metric in self.metrics:
-            results.update(metric.compute(hyps, refs))
+            results.update(metric.compute(hyps, refs_by_field[metric.cfg.target_field]))
+        refs: List[Any] = refs_by_field[
+            self.metrics[0].cfg.target_field if self.metrics else "target"]
         out_dir = self.cfg.evaluation.output_dir
         if out_dir:
             # persist inference results (reference task/base.py:153,701)

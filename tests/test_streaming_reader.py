@@ -99,3 +99,58 @@ def test_object_store_iter_lines(tmp_path):
     r = ObjectStoreLineReader("oss://bucket/obj.tsv")
     lines = list(r.iter_lines(lambda url: ChunkySource(payload.encode())))
     assert lines == ["q1\ta1", "q2\ta2", "q3\ta3"]
+
+
+class ClosableSource(ChunkySource):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.closed = False
+
+    def close(self):
+        self.closed = True
+
+
+def test_close_unblocks_abandoned_producer():
+    """An abandoned stream (consumer breaks out early) must not leak the
+    producer thread blocked on the bounded queue: close() cancels it and
+    closes the source."""
+    payload = b"x" * 4096
+    src = ClosableSource(payload, sizes=(64,) * 4)
+    s = PrefetchByteStream(src, chunk_bytes=8, max_chunks=2)
+    s.read(16)               # partial consume; producer fills + blocks
+    time.sleep(0.05)
+    assert s._thread.is_alive() or src.pos < len(payload)
+    s.close()
+    s._thread.join(timeout=2.0)
+    assert not s._thread.is_alive()
+    assert src.closed
+    s.close()                # idempotent
+
+
+def test_context_manager_closes():
+    src = ClosableSource(b"a\nb\nc\n")
+    with StreamingLineReader(src, chunk_bytes=2, max_chunks=2) as r:
+        assert r.readline() == b"a"
+    assert src.closed
+
+
+def test_fill_respects_configured_chunk_bytes():
+    """StreamingLineReader._fill must read with the configured chunk size,
+    not a hardcoded 64KB (matters for prefetch=False chunking contracts)."""
+
+    class RecordingSource:
+        def __init__(self):
+            self.requests = []
+            self.done = False
+
+        def read(self, n):
+            self.requests.append(n)
+            if self.done:
+                return b""
+            self.done = True
+            return b"one\ntwo\n"
+
+    src = RecordingSource()
+    r = StreamingLineReader(src, chunk_bytes=32, prefetch=False)
+    assert list(r) == [b"one", b"two"]
+    assert all(n == 32 for n in src.requests)
