@@ -78,7 +78,13 @@ def save_checkpoint(
         ckptr = ocp.PyTreeCheckpointer()
         tmp = path + ".tmp"
         _remove(tmp)
-        ckptr.save(tmp, jax.device_get(state))
+        # state goes to orbax as-is: jax.Array leaves are serialized shard-by
+        # -shard via tensorstore (the reference's per-rank -shard{rank} files,
+        # engine/trainer.py:345-350 / use_sharded_state,
+        # distributed/fully_sharded_data_parallel.py:23-128, fall out of the
+        # format for free) — a mesh-sharded 10b TrainState is NEVER gathered
+        # into one host array the way a full-tree jax.device_get would
+        ckptr.save(tmp, state)
         # path may be a symlink left by _mirror (e.g. the final explicit
         # checkpoint_last save after interval saves) — rmtree raises on symlinks
         _remove(path)
@@ -147,7 +153,16 @@ def _prune(save_dir: str, keep: int, pattern: str = r"^checkpoint_(\d+)_(\d+)$",
 
 def load_checkpoint(path: str, target: Optional[Any] = None):
     """Returns (state, meta). ``target`` provides structure/dtypes for
-    restore (required for exact dtype round-trip)."""
+    restore (required for exact dtype round-trip).
+
+    Sharded restore: when ``target`` carries jax.Array leaves, each leaf is
+    restored DIRECTLY to that leaf's sharding (tensorstore reads only the
+    slices each device owns — no full-array host materialization), so a
+    checkpoint saved on one mesh restores onto any other mesh shape simply
+    by passing a target laid out on the new mesh (the reference's ZeRO
+    broadcast-sharded load, engine/trainer.py:568-577, without the
+    same-world-size restriction). Numpy/host targets restore to host arrays
+    as before."""
     wait_for_async_saves()   # same-process save-then-load sees committed data
     ocp = _ocp()
     path = os.path.abspath(path)
@@ -155,10 +170,36 @@ def load_checkpoint(path: str, target: Optional[Any] = None):
         path = os.readlink(path)
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        kwargs = {"item": jax.device_get(target)}
-        state = ckptr.restore(path, **kwargs)
+        if any(isinstance(l, jax.Array) for l in jax.tree.leaves(target)):
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+                if isinstance(x, jax.Array) else x,
+                target,
+            )
+            restore_args = ocp.checkpoint_utils.construct_restore_args(abstract)
+            state = ckptr.restore(path, item=abstract, restore_args=restore_args)
+        else:
+            # host target: force numpy restore so a checkpoint written with
+            # sharded jax.Arrays on some other mesh/topology (e.g. a pod
+            # training run) loads on any box — without this orbax tries to
+            # rebuild the SAVED shardings, whose devices don't exist here
+            host = jax.device_get(target)
+            restore_args = jax.tree.map(
+                lambda x: ocp.RestoreArgs(restore_type=np.ndarray,
+                                          dtype=getattr(x, "dtype", None)),
+                host,
+            )
+            state = ckptr.restore(path, item=host, restore_args=restore_args)
     else:
-        state = ckptr.restore(path)
+        # structure from checkpoint metadata; every leaf restored as numpy
+        # (a sharded save records its mesh in the metadata — restoring
+        # without explicit numpy RestoreArgs would try to rebuild devices
+        # that may not exist in this process)
+        meta_tree = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+        )
+        state = ckptr.restore(path, restore_args=restore_args)
     meta = None
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path):
