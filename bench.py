@@ -204,7 +204,12 @@ def measure_tpu_multitask(model, d, batches):
     )
 
     crit = LabelSmoothedCrossEntropyCriterion(
-        LabelSmoothedCrossEntropyCriterionConfig(), pad_id=d.pad()
+        LabelSmoothedCrossEntropyCriterionConfig(
+            # A/B: BENCH_CCE=1 fuses the tied-embedding logits projection
+            # into the loss (ops/fused_ce.py) — no (N, V) logits/dlogits HBM
+            chunked_vocab=os.environ.get("BENCH_CCE", "0") == "1",
+        ),
+        pad_id=d.pad(),
     )
     diff_crit = DiffusionCriterion(DiffusionCriterionConfig(), pad_id=d.pad())
     optimizer = build_optimizer(OptimizationConfig(lr=(1e-4,), warmup_updates=100), total_num_update=10000)
