@@ -115,6 +115,41 @@ def _flash_kernel(
             lse_ref[0] = m_scr[:] + jnp.log(l)
 
 
+def _env_block(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def default_blocks(Tq: int, Tk: int, backward: bool) -> tuple:
+    """(block_q, block_k) policy. Swept on-chip at T in {2048, 4096, 8192}
+    (round 5, RTT-corrected isolated microbenches): larger q-blocks cut the
+    number of full KV passes (total KV DMA = (Tq/Bq) * Tk * D), so the
+    forward wants Bq as large as the (Bq, Bk) f32 score block allows; the
+    backward's dKV kernel symmetrically wants large Bk. Env overrides
+    OFASYS_FLASH_BQ[_BWD]/OFASYS_FLASH_BK[_BWD] for A/B."""
+    if backward:
+        bq = _env_block("OFASYS_FLASH_BQ_BWD", 512)
+        bk = _env_block("OFASYS_FLASH_BK_BWD", 512)
+    else:
+        bq = _env_block("OFASYS_FLASH_BQ", 512)
+        bk = _env_block("OFASYS_FLASH_BK", 512)
+    return bq, bk
+
+
+def _causal_kmap(kmap, Bq: int, Bk: int, n_k: int):
+    """Clamp a k-indexed block map to the causal diagonal: tiles strictly
+    above the diagonal are compute-skipped in the kernel (pl.when), and with
+    the clamp their k/v/bias DMA is skipped too — the revisited block index
+    is unchanged, so Mosaic issues no copy. Halves HBM traffic at long T.
+    (The extra n_k-1 bound keeps ragged last q-blocks in range.)"""
+
+    def m(bh, qb, kb):
+        kb_eff = jnp.minimum(jnp.minimum(kb, (qb * Bq + Bq - 1) // Bk), n_k - 1)
+        return kmap(bh, qb, kb_eff)
+
+    return m
+
+
 def _flash_forward(
     q: jax.Array,                 # (BH, Tq, D)
     k: jax.Array,                 # (BH, Tk, D)
@@ -123,21 +158,30 @@ def _flash_forward(
     mask: Optional[jax.Array],    # (BH, 1, Tk) int8 keep-mask or None
     scale: float,
     causal: bool,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     return_lse: bool = False,
 ) -> jax.Array:
     BH, Tq, D = q.shape
     Tk = k.shape[1]
+    if block_q is None or block_k is None:
+        dq, dk = default_blocks(Tq, Tk, backward=False)
+        block_q = block_q or dq
+        block_k = block_k or dk
     Bq = min(block_q, Tq)
     Bk = min(block_k, Tk)
     n_q = pl.cdiv(Tq, Bq)
     n_k = pl.cdiv(Tk, Bk)
 
+    def kv_map(bh, qb, kb):
+        return (bh, kb, 0)
+
+    if causal:
+        kv_map = _causal_kmap(kv_map, Bq, Bk, n_k)
     in_specs = [
         pl.BlockSpec((1, Bq, D), lambda bh, qb, kb: (bh, qb, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bk, D), lambda bh, qb, kb: (bh, kb, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Bk, D), lambda bh, qb, kb: (bh, kb, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bk, D), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bk, D), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if bias is not None:
@@ -147,10 +191,15 @@ def _flash_forward(
         else:  # per-head bias shared across batch: (H, Tq, Tk)
             H = nb
             bias_map = lambda bh, qb, kb: (bh % H, qb, kb)
+        if causal:
+            bias_map = _causal_kmap(bias_map, Bq, Bk, n_k)
         in_specs.append(pl.BlockSpec((1, Bq, Bk), bias_map, memory_space=pltpu.VMEM))
         args.append(bias)
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, 1, Bk), lambda bh, qb, kb: (bh, 0, kb), memory_space=pltpu.VMEM))
+        mask_map = lambda bh, qb, kb: (bh, 0, kb)
+        if causal:
+            mask_map = _causal_kmap(mask_map, Bq, Bk, n_k)
+        in_specs.append(pl.BlockSpec((1, 1, Bk), mask_map, memory_space=pltpu.VMEM))
         args.append(mask)
 
     kernel = functools.partial(
@@ -488,7 +537,7 @@ def _shared_dbias(q, k, v, bias, mask, g, lse, dd, scale, causal,
 
 def _flash_backward(
     q, k, v, bias, mask, out, lse, g, scale, causal,
-    block_q: int = 512, block_k: int = 512, g_lse=None,
+    block_q: Optional[int] = None, block_k: Optional[int] = None, g_lse=None,
 ):
     """dq, dk, dv, dbias via the backward kernels. Shapes as in
     _flash_forward; lse is the forward's (BH, Tq, 1) logsumexp.
@@ -499,6 +548,10 @@ def _flash_backward(
     dd -> dd - g_lse — zero kernel changes."""
     BH, Tq, D = q.shape
     Tk = k.shape[1]
+    if block_q is None or block_k is None:
+        dbq, dbk = default_blocks(Tq, Tk, backward=True)
+        block_q = block_q or dbq
+        block_k = block_k or dbk
     Bq = min(block_q, Tq)
     Bk = min(block_k, Tk)
     n_q = pl.cdiv(Tq, Bq)
@@ -515,18 +568,35 @@ def _flash_backward(
     interpret = jax.default_backend() not in ("tpu", "axon")
 
     def common_specs(order):
-        # order: 'q' -> grid (BH, n_q, n_k), 'k' -> grid (BH, n_k, n_q)
+        # order: 'q' -> grid (BH, n_q, n_k), 'k' -> grid (BH, n_k, n_q).
+        # Under causal the varying (inner) index is clamped to the diagonal,
+        # so compute-skipped tiles skip their input DMA too (see
+        # _causal_kmap); output maps stay unclamped — skipped tiles still
+        # own (and zero) their output blocks.
         if order == "q":
+            def clamp(f):
+                if not causal:
+                    return f
+                return lambda bh, a, b: f(
+                    bh, a, jnp.minimum(
+                        jnp.minimum(b, (a * Bq + Bq - 1) // Bk), n_k - 1))
+
             qm = lambda bh, a, b: (bh, a, 0)
-            km = lambda bh, a, b: (bh, b, 0)
-            bm_bh = lambda bh, a, b: (bh, a, b)
-            bm_h = lambda bh, a, b: (bh % nb, a, b)
-            mm = lambda bh, a, b: (bh, 0, b)
+            km = clamp(lambda bh, a, b: (bh, b, 0))
+            bm_bh = clamp(lambda bh, a, b: (bh, a, b))
+            bm_h = clamp(lambda bh, a, b: (bh % nb, a, b))
+            mm = clamp(lambda bh, a, b: (bh, 0, b))
         else:
-            qm = lambda bh, a, b: (bh, b, 0)
+            def clamp(f):
+                if not causal:
+                    return f
+                return lambda bh, a, b: f(
+                    bh, a, jnp.maximum(b, (a * Bk) // Bq))
+
+            qm = clamp(lambda bh, a, b: (bh, b, 0))
             km = lambda bh, a, b: (bh, a, 0)
-            bm_bh = lambda bh, a, b: (bh, b, a)
-            bm_h = lambda bh, a, b: (bh % nb, b, a)
+            bm_bh = clamp(lambda bh, a, b: (bh, b, a))
+            bm_h = clamp(lambda bh, a, b: (bh % nb, b, a))
             mm = lambda bh, a, b: (bh, 0, a)
         specs = [
             pl.BlockSpec((1, Bq, D), qm, memory_space=pltpu.VMEM),
