@@ -101,8 +101,22 @@ def build_from_config(data: Dict[str, Any]):
         import copy
 
         cfg = copy.deepcopy(node.config)
+        crit_args = None
+        if isinstance(tcfg, dict):
+            if isinstance(tcfg.get("criterion"), dict):
+                # `criterion: {name: ..., label_smoothing: 0.2, ...}` — split
+                # the registry name from the field overrides
+                # (TaskConfig.criterion_args)
+                c = dict(tcfg["criterion"])
+                tcfg["criterion"] = c.pop("name", cfg.criterion)
+                tcfg["criterion_args"] = c
+            # keep the args as ONE dict value (dotted update would try to
+            # navigate into plain-dict fields)
+            crit_args = tcfg.pop("criterion_args", None)
         if tcfg:
             cfg.update(**_flatten(tcfg))
+        if crit_args:
+            cfg.criterion_args = dict(crit_args)
         task = node.target_cls(cfg, name=name)
         tasks.append(task)
 
