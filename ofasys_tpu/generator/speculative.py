@@ -116,8 +116,21 @@ class SpeculativeGenerator:
             self._compiled[key] = jax.jit(
                 functools.partial(self._generate, max_len=max_len)
             )
-        seqs, scores = self._compiled[key](params, draft_params, src_slots, tgt_slot)
-        seqs, scores = jax.device_get((seqs, scores))  # one readback round-trip
+        seqs, scores, iters, L = self._compiled[key](
+            params, draft_params, src_slots, tgt_slot
+        )
+        # one readback round-trip
+        seqs, scores, iters, L = jax.device_get((seqs, scores, iters, L))
+        # decode decomposition: tokens emitted vs target forwards taken
+        # (prefill + one verify per loop iteration); mean acceptance =
+        # tokens/iteration - 1 correction token
+        n_tok = int(L) - 1
+        self.last_stats = {
+            "tokens": n_tok,
+            "target_steps": int(iters) + 1,
+            "tokens_per_verify": round(n_tok / max(int(iters), 1), 2),
+            "mean_accepted": round(max(n_tok - 1, 0) / max(int(iters), 1) - 1.0, 2),
+        }
 
         out: List[List[SequenceGeneratorOutput]] = []
         for b in range(B):
@@ -187,11 +200,11 @@ class SpeculativeGenerator:
 
         # invariant at loop entry: target cache index == L-1, draft == L-2
         def cond(state):
-            L, seq, cache_t, cache_d, done, logp = state
+            L, seq, cache_t, cache_d, done, logp, iters = state
             return (L < max_len + 2) & ~jnp.all(done)
 
         def body(state):
-            L, seq, cache_t, cache_d, done, logp = state
+            L, seq, cache_t, cache_d, done, logp, iters = state
 
             # ---- draft proposes G tokens (catch-up window of 2, then 1-by-1)
             win = jax.lax.dynamic_slice_in_dim(seq, L - 2, 2, axis=1)
@@ -254,11 +267,11 @@ class SpeculativeGenerator:
             L2 = L + n + 1
             cache_t = _set_self_index(cache_t, L2 - 1)
             cache_d = _set_self_index(cache_d, L2 - 2)
-            return (L2, seq, cache_t, cache_d, new_done, new_logp)
+            return (L2, seq, cache_t, cache_d, new_done, new_logp, iters + 1)
 
-        state = (jnp.int32(2), seq, cache_t, cache_d, done0, logp)
+        state = (jnp.int32(2), seq, cache_t, cache_d, done0, logp, jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)
-        _, seq, _, _, _, logp = state
+        L, seq, _, _, _, logp, iters = state
         # length = tokens up to and including the first EOS (lockstep may
         # write draft tokens past a row's EOS; finalize drops them too)
         toks = seq[:, 1:]
@@ -269,4 +282,4 @@ class SpeculativeGenerator:
             jnp.sum(toks != self.pad, axis=1),
         )
         scores = logp / search.length_penalty(lengths, self.lenpen)
-        return seq, scores
+        return seq, scores, iters, L
