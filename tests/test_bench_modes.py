@@ -50,5 +50,6 @@ def test_verify_mode_passes_interpret(bench, monkeypatch):
 
 
 def test_mode_dispatch_entries_exist(bench):
-    for fn in ("run_verify", "run_serving", "run_longseq", "main"):
+    for fn in ("run_verify", "run_serving", "run_longseq", "run_huge",
+               "run_huge_mem", "_distill_draft", "main"):
         assert callable(getattr(bench, fn))
