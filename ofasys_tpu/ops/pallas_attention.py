@@ -39,6 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -1e9
 
 
+def _exp_bk(x):
+    """exp over a (Bq, Bk) score block. The flash kernels at D=64 are
+    VPU-bound (the exp over T^2 scores outweighs the two D=64 MXU dots per
+    tile), so OFASYS_FLASH_EXP=bf16 computes the block exp at bf16 (2x VPU
+    lanes; probabilities in [0,1] keep ~3 significant digits — the same
+    budget as attn_logits='compute' bf16 score storage). Default f32."""
+    if os.environ.get("OFASYS_FLASH_EXP") == "bf16":
+        return jnp.exp(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    return jnp.exp(x)
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, bias_ref, mask_ref,   # inputs (some may be None)
     o_ref,                                     # output (1, Bq, D)
@@ -85,7 +96,7 @@ def _flash_kernel(
         m_prev = m_scr[:]                            # (Bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                       # (Bq, Bk)
+        p = _exp_bk(s - m_new)                       # (Bq, Bk)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0]                                 # (Bk, D) storage dtype
@@ -120,20 +131,26 @@ def _env_block(name: str, default: int) -> int:
     return int(v) if v else default
 
 
-def default_blocks(Tq: int, Tk: int, backward: bool) -> tuple:
-    """(block_q, block_k) policy. Swept on-chip at T in {2048, 4096, 8192}
-    (round 5, RTT-corrected isolated microbenches): larger q-blocks cut the
-    number of full KV passes (total KV DMA = (Tq/Bq) * Tk * D), so the
-    forward wants Bq as large as the (Bq, Bk) f32 score block allows; the
-    backward's dKV kernel symmetrically wants large Bk. Env overrides
+def default_blocks(Tq: int, Tk: int, backward: bool, has_bias: bool = False) -> tuple:
+    """(block_q, block_k) policy, calibrated on-chip (round 5, v5e, D=64,
+    RTT-corrected isolated microbenches at T=2048/4096): Bk is the big lever
+    (k is the innermost grid dim — larger Bk means fewer online-softmax
+    rescale passes and longer DMA pipelines): fwd (1024, 1024) measured
+    1.76x the old (512, 512) at T=2048 full, 1.46x causal; the backward
+    kernels prefer (512, 1024). Bias'd paths keep (512, 512): the dbias
+    batch-accumulating kernel + (Bq, Bk) f32 dS blocks hit the 16 MB
+    scoped-VMEM ceiling at larger blocks (the r4 compile-OOM family), and
+    the bias'd short-seq shapes run the dense kernel anyway. Env overrides
     OFASYS_FLASH_BQ[_BWD]/OFASYS_FLASH_BK[_BWD] for A/B."""
-    if backward:
-        bq = _env_block("OFASYS_FLASH_BQ_BWD", 512)
-        bk = _env_block("OFASYS_FLASH_BK_BWD", 512)
+    if has_bias:
+        bq_d = bk_d = 512
+    elif backward:
+        bq_d, bk_d = 512, 1024
     else:
-        bq = _env_block("OFASYS_FLASH_BQ", 512)
-        bk = _env_block("OFASYS_FLASH_BK", 512)
-    return bq, bk
+        bq_d, bk_d = 1024, 1024
+    suffix = "_BWD" if backward else ""
+    return (_env_block(f"OFASYS_FLASH_BQ{suffix}", bq_d),
+            _env_block(f"OFASYS_FLASH_BK{suffix}", bk_d))
 
 
 def _causal_kmap(kmap, Bq: int, Bk: int, n_k: int):
@@ -165,7 +182,7 @@ def _flash_forward(
     BH, Tq, D = q.shape
     Tk = k.shape[1]
     if block_q is None or block_k is None:
-        dq, dk = default_blocks(Tq, Tk, backward=False)
+        dq, dk = default_blocks(Tq, Tk, backward=False, has_bias=bias is not None)
         block_q = block_q or dq
         block_k = block_k or dk
     Bq = min(block_q, Tq)
@@ -278,7 +295,7 @@ def _recompute_p(q_ref, k_ref, bias_ref, mask_ref, *, scale, causal,
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
         s = jnp.where(cols <= rows, s, MASK_VALUE)
-    p = jnp.exp(s - lse)
+    p = _exp_bk(s - lse)
     if ragged_k:
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
         p = jnp.where(cols < Tk, p, 0.0)
@@ -549,7 +566,7 @@ def _flash_backward(
     BH, Tq, D = q.shape
     Tk = k.shape[1]
     if block_q is None or block_k is None:
-        dbq, dbk = default_blocks(Tq, Tk, backward=True)
+        dbq, dbk = default_blocks(Tq, Tk, backward=True, has_bias=bias is not None)
         block_q = block_q or dbq
         block_k = block_k or dbk
     Bq = min(block_q, Tq)

@@ -78,8 +78,8 @@ def main():
     print(f"== T={T} B={B} BH={BH}: fwd dot-FLOPs {flops_fwd/1e9:.1f} GF "
           f"(causal ~half), v5e bf16 peak 394 TF/s", flush=True)
 
-    blocks = [(512, 512), (1024, 512), (512, 1024), (1024, 1024),
-              (2048, 512), (256, 1024)]
+    blocks = [(512, 512), (512, 1024), (1024, 1024),
+              (512, 2048), (1024, 2048), (2048, 2048)]
 
     for causal in (False, True):
         tag = "causal" if causal else "full  "
