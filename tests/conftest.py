@@ -49,6 +49,7 @@ SLOW_FILES = {
     "test_reference_parity.py",
     "test_scan_remat.py",
     "test_scst_ema_misc.py",
+    "test_sharded_checkpoint.py",
     "test_sharded_decode.py",
     "test_speculative.py",
     "test_speech_pretrain.py",
