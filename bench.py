@@ -995,7 +995,9 @@ def run_longseq():
     from ofasys_tpu.utils.pytree import SlotBatch
 
     T = int(os.environ.get("BENCH_LONGSEQ_T", "4096"))
-    B = int(os.environ.get("BENCH_LONGSEQ_B", "2"))
+    # B=4 is the largest remat-free batch that compiles at T=4096 (B=8
+    # fails server-side tpu compile); it is also the best-MFU point measured
+    B = int(os.environ.get("BENCH_LONGSEQ_B", "4"))
 
     d = Dictionary()
     for i in range(VOCAB_EXTRA):
