@@ -212,3 +212,37 @@ def test_flash_ragged_gradients_match():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_causal_clamp_ragged_multiblock(monkeypatch):
+    """Round-5 causal DMA clamp: with Bq != Bk and a ragged last q-block
+    (T not a block multiple), the clamped k/v/bias index maps must stay in
+    range (the n_k-1 bound) and preserve exact parity, fwd + grads."""
+    monkeypatch.setenv("OFASYS_FLASH_BQ", "1024")
+    monkeypatch.setenv("OFASYS_FLASH_BK", "512")
+    monkeypatch.setenv("OFASYS_FLASH_BQ_BWD", "512")
+    monkeypatch.setenv("OFASYS_FLASH_BK_BWD", "1024")
+    B, T, H, D = 1, 1536, 1, 32
+    q, k, v = rand((B, T, H, D), 0), rand((B, T, H, D), 1), rand((B, T, H, D), 2)
+    mask = jnp.ones((B, 1, 1, T), bool).at[:, :, :, -17:].set(False)
+
+    out = flash_attention(q, k, v, mask=mask, scale=0.2, causal=True)
+    ref = dot_product_attention(
+        q, k, v, mask=jnp.logical_and(mask, causal_mask(T, T)), scale=0.2
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+    def loss(f):
+        def g(q, k, v):
+            return f(q, k, v).astype(jnp.float32).sum()
+        return g
+
+    gf = jax.grad(loss(lambda q, k, v: flash_attention(
+        q, k, v, mask=mask, scale=0.2, causal=True)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda q, k, v: dot_product_attention(
+        q, k, v, mask=jnp.logical_and(mask, causal_mask(T, T)), scale=0.2)),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=5e-2, atol=5e-2)
