@@ -68,7 +68,7 @@ def _flash_kernel(
     q_start = pl.program_id(1) * Bq
     k_start = kb * Bk
 
-    def _compute():
+    def _compute(mask_causal: bool = True):
         # keep inputs in their storage dtype (bf16): the MXU runs bf16 x bf16
         # with fp32 accumulation at full rate; upcasting first would drop to
         # the fp32 path (~8x slower)
@@ -82,7 +82,7 @@ def _flash_kernel(
         if mask_ref is not None:
             keep = mask_ref[0] != 0                  # (1, Bk) -> broadcast
             s = jnp.where(keep, s, MASK_VALUE)
-        if causal:
+        if causal and mask_causal:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
             cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
             s = jnp.where(cols <= rows, s, MASK_VALUE)
@@ -111,10 +111,16 @@ def _flash_kernel(
         m_scr[:] = m_new
 
     if causal:
-        # skip tiles strictly above the diagonal
-        pl.when(k_start <= q_start + Bq - 1)(_compute)
+        # skip tiles strictly above the diagonal; INTERIOR tiles (fully
+        # below it) run a specialization without the causal iota/compare/
+        # select — the kernel is VPU-bound, so thinning elementwise passes
+        # on the ~half of computed tiles that never see the diagonal counts
+        on_diag = (k_start <= q_start + Bq - 1) & (k_start + Bk - 1 > q_start)
+        interior = k_start + Bk - 1 <= q_start
+        pl.when(on_diag)(lambda: _compute(True))
+        pl.when(interior)(lambda: _compute(False))
     else:
-        _compute()
+        _compute(False)
 
     @pl.when(kb == n_k - 1)
     def _epilogue():
@@ -277,7 +283,8 @@ def _flash_kernel_dispatch(*refs, has_bias, has_mask, has_lse, **kw):
 
 
 def _recompute_p(q_ref, k_ref, bias_ref, mask_ref, *, scale, causal,
-                 q_start, k_start, Bq, Bk, ragged_q, ragged_k, Tq, Tk, lse):
+                 q_start, k_start, Bq, Bk, ragged_q, ragged_k, Tq, Tk, lse,
+                 mask_causal=True):
     """Shared S/P recompute for the backward kernels (fp32). Partial final
     blocks are padded with garbage by pallas, so P is hard-zeroed outside
     the (Tq, Tk) bounds (exp of masked-garbage can still be inf/NaN when
@@ -291,7 +298,7 @@ def _recompute_p(q_ref, k_ref, bias_ref, mask_ref, *, scale, causal,
         s = s + bias_ref[0].astype(jnp.float32)
     if mask_ref is not None:
         s = jnp.where(mask_ref[0] != 0, s, MASK_VALUE)
-    if causal:
+    if causal and mask_causal:
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 0)
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
         s = jnp.where(cols <= rows, s, MASK_VALUE)
@@ -343,12 +350,13 @@ def _flash_bwd_dq_kernel(
     q_start = pl.program_id(1) * Bq
     k_start = kb * Bk
 
-    def _compute():
+    def _compute(mask_causal: bool = True):
         p = _recompute_p(
             q_ref, k_ref, bias_ref, mask_ref, scale=scale, causal=causal,
             q_start=q_start, k_start=k_start, Bq=Bq, Bk=Bk,
             ragged_q=ragged_q, ragged_k=ragged_k, Tq=Tq, Tk=Tk,
             lse=lse_ref[0],                                    # (Bq, 1)
+            mask_causal=mask_causal,
         )
         do = do_ref[0].astype(jnp.float32)                     # (Bq, D)
         v = _zero_ragged_rows(v_ref[0], k_start, Tk, ragged_k)
@@ -370,9 +378,13 @@ def _flash_bwd_dq_kernel(
         ) * scale
 
     if causal:
-        pl.when(k_start <= q_start + Bq - 1)(_compute)
+        # interior tiles skip the causal select inside _recompute_p
+        on_diag = (k_start <= q_start + Bq - 1) & (k_start + Bk - 1 > q_start)
+        interior = k_start + Bk - 1 <= q_start
+        pl.when(on_diag)(lambda: _compute(True))
+        pl.when(interior)(lambda: _compute(False))
     else:
-        _compute()
+        _compute(False)
     if causal and ds_ref is not None:
         # skipped upper-diagonal tiles still own their dS output block
         pl.when(k_start > q_start + Bq - 1)(
@@ -402,12 +414,13 @@ def _flash_bwd_dkv_kernel(
     q_start = qb * Bq
     k_start = pl.program_id(1) * Bk
 
-    def _compute():
+    def _compute(mask_causal: bool = True):
         p = _recompute_p(
             q_ref, k_ref, bias_ref, mask_ref, scale=scale, causal=causal,
             q_start=q_start, k_start=k_start, Bq=Bq, Bk=Bk,
             ragged_q=ragged_q, ragged_k=ragged_k, Tq=Tq, Tk=Tk,
             lse=lse_ref[0],
+            mask_causal=mask_causal,
         )
         do_raw = _zero_ragged_rows(do_ref[0], q_start, Tq, ragged_q)
         do = do_raw.astype(jnp.float32)
@@ -432,9 +445,12 @@ def _flash_bwd_dkv_kernel(
         ) * scale                                              # (Bk, D)
 
     if causal:
-        pl.when(k_start <= q_start + Bq - 1)(_compute)
+        on_diag = (k_start <= q_start + Bq - 1) & (k_start + Bk - 1 > q_start)
+        interior = k_start + Bk - 1 <= q_start
+        pl.when(on_diag)(lambda: _compute(True))
+        pl.when(interior)(lambda: _compute(False))
     else:
-        _compute()
+        _compute(False)
 
     @pl.when(qb == n_q - 1)
     def _epilogue():
