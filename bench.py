@@ -1237,6 +1237,37 @@ def run_huge():
     p50 = float(np.median(lats)) * 1000.0
     rtt = measure_rtt()
 
+    # speculative at scale: the base-arch SERVING_BENCH verdict is that the
+    # draft's own sequential steps outweigh the saved target steps when a
+    # target step is ~0.4 ms — HERE the target step is several ms, the
+    # regime speculative decoding is for
+    spec = None
+    try:
+        from ofasys_tpu.generator.speculative import SpeculativeGenerator
+
+        draft = GeneralistModel(arch="tiny")
+        draft.cfg.dropout = 0.0
+        draft.initialize(d, active_adaptors=("text",), dtype=jnp.bfloat16)
+        dparams = draft.init_params(jax.random.PRNGKey(7), slots1)
+        sgen = SpeculativeGenerator(smodel, draft, d, gamma=8,
+                                    max_len_b=16, min_len=15)
+        sgen.generate(sparams, dparams, sample1)
+        sgen.generate(sparams, dparams, sample1)
+        slats = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            sgen.generate(sparams, dparams, sample1)
+            slats.append(time.perf_counter() - t0)
+        sp50 = float(np.median(slats)) * 1000.0
+        spec = {
+            "p50_ms_16tok_b1": round(sp50, 2),
+            "device_ms_est": round(sp50 - rtt, 2),
+            "gamma": 8,
+            **sgen.last_stats,
+        }
+    except Exception as e:
+        spec = {"error": repr(e)[:120]}
+
     # ---- 10b sharded-serving memory accounting on the 8-device CPU mesh
     # (subprocess: this process is pinned to the single axon chip)
     import subprocess
@@ -1264,6 +1295,7 @@ def run_huge():
             "p50_ms_16tok_b1": round(p50, 2),
             "tunnel_rtt_ms": round(rtt, 2),
             "device_ms_est": round(p50 - rtt, 2),
+            "speculative_tiny_draft_g8": spec,
         },
         "sharded_serving_memory_10b": mem10b,
         "vs_baseline": None,
