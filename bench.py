@@ -905,7 +905,7 @@ def run_serving():
     print(json.dumps(out))
 
 
-def _distill_draft(model, params, draft, dparams, d, steps=300):
+def _distill_draft(model, params, draft, dparams, d, steps=300, make_src=None):
     """Distill the draft on the TARGET's greedy decodes (self-generated
     pseudo-labels over a held-out pool of random caption-style inputs, seeded
     apart from the timed serving samples). The draft learns the target's
@@ -925,11 +925,14 @@ def _distill_draft(model, params, draft, dparams, d, steps=300):
     rng = np.random.default_rng(12345)
     gen = SequenceGenerator(model, d, beam_size=1, max_len_b=16, min_len=15)
     B = 8
+    if make_src is None:
+        def make_src(B, rng):
+            img = jnp.asarray(rng.random((B, 224, 224, 3)), jnp.float32)
+            return SlotBatch(ModalityType.IMAGE, True, {"inputs": img}, "img")
     batches = []
     for _ in range(4):
-        img = jnp.asarray(rng.random((B, 224, 224, 3)), jnp.float32)
         slots = [
-            SlotBatch(ModalityType.IMAGE, True, {"inputs": img}, "img"),
+            make_src(B, rng),
             SlotBatch(ModalityType.TEXT, False,
                       {"inputs": jnp.zeros((B, 4), jnp.int32)}, "cap"),
         ]
@@ -1249,6 +1252,14 @@ def run_huge():
         draft.cfg.dropout = 0.0
         draft.initialize(d, active_adaptors=("text",), dtype=jnp.bfloat16)
         dparams = draft.init_params(jax.random.PRNGKey(7), slots1)
+        # distilled on the huge target's own greedy outputs (text inputs)
+        def _text_src(B, rng2):
+            toks = jnp.asarray(
+                rng2.integers(d.nspecial, d.nspecial + 1000, size=(B, 32)), jnp.int32)
+            return SlotBatch(ModalityType.TEXT, True, {"inputs": toks}, "src")
+        dparams = _distill_draft(smodel, sparams, draft, dparams, d,
+                                 steps=int(os.environ.get("BENCH_KD_STEPS", "300")),
+                                 make_src=_text_src)
         sgen = SpeculativeGenerator(smodel, draft, d, gamma=8,
                                     max_len_b=16, min_len=15)
         sgen.generate(sparams, dparams, sample1)
