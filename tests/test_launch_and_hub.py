@@ -44,6 +44,27 @@ def test_overrides_and_build(tmp_path):
     assert tasks[0].templates == ["[TEXT:src] -> [TEXT:tgt]"]
 
 
+def test_criterion_args_yaml_surface(tmp_path):
+    """tasks.<name>.criterion accepts {name:..., field: value}: the name
+    routes to the registry, the fields land on the built criterion config
+    (round-5 surface; mirrors the reference's per-task criterion args)."""
+    (tmp_path / "c.yaml").write_text(
+        "model:\n  arch: tiny\n"
+        "tasks:\n  copy:\n    instruction:\n      template: '[TEXT:src] -> [TEXT:tgt]'\n"
+        "    criterion:\n      name: label_smoothed_cross_entropy\n"
+        "      label_smoothing: 0.25\n      chunked_vocab: true\n"
+    )
+    trainer, model, tasks = build_from_config(load_yaml_config(str(tmp_path / "c.yaml")))
+    t = tasks[0]
+    assert t.cfg.criterion == "label_smoothed_cross_entropy"
+    assert t.cfg.criterion_args == {"label_smoothing": 0.25, "chunked_vocab": True}
+    from ofasys_tpu.preprocessor.dictionary import Dictionary
+    d = Dictionary()
+    t.initialize(d)
+    assert t.criterion.cfg.label_smoothing == 0.25
+    assert t.criterion.cfg.chunked_vocab is True
+
+
 def test_hub_from_pretrained_roundtrip(tmp_path):
     from ofasys_tpu import GeneralistModel, OFASys, Task, Trainer
     from ofasys_tpu.configure import TrainerConfig
