@@ -45,8 +45,13 @@ def _exp_bk(x):
     tile), so OFASYS_FLASH_EXP=bf16 computes the block exp at bf16 (2x VPU
     lanes; probabilities in [0,1] keep ~3 significant digits — the same
     budget as attn_logits='compute' bf16 score storage). Default f32."""
-    if os.environ.get("OFASYS_FLASH_EXP") == "bf16":
+    mode = os.environ.get("OFASYS_FLASH_EXP")
+    if mode == "bf16":
         return jnp.exp(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    if mode == "exp2":
+        # exp(x) == exp2(x * log2(e)) to ~1 ulp; wins if the VPU's exp2 path
+        # is cheaper than exp's polynomial
+        return jnp.exp2(x * 1.4426950408889634)
     return jnp.exp(x)
 
 
