@@ -80,6 +80,15 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
             return None
         if sample.get("constraint_masks") is not None:
             return None
+        # only the TEXT adaptor's tied projection has fused-path numerics
+        # parity (image-code/VQGAN targets attend at fp32 — recomputing
+        # them at bf16 would silently change the loss)
+        try:
+            tgt_slots = [s for s in sample["net_input"]["slots"] if not s.is_src]
+        except (KeyError, TypeError):
+            return None
+        if len(tgt_slots) != 1 or getattr(tgt_slots[0].modality, "name", "") != "TEXT":
+            return None
         x = (extra or {}).get("decoder_hidden")
         if x is None or x.ndim != 3:
             return None
@@ -96,12 +105,13 @@ class LabelSmoothedCrossEntropyCriterion(BaseCriterion):
         if getattr(emb, "ndim", 0) != 2 or logits.shape[-1] != emb.shape[0]:
             return None
         # untied projection / output bias: the virtual logits would not be
-        # x @ emb^T — bail to the standard path
+        # x @ emb^T — bail to the standard path (flax param names from
+        # adaptor/text.py:39-48)
         from jax.tree_util import tree_flatten_with_path
 
         for path, _ in tree_flatten_with_path(p)[0]:
             names = {str(getattr(k, "key", "")) for k in path}
-            if "_output_projection" in names or "_output_bias" in names:
+            if "output_projection" in names or "output_projection_bias" in names:
                 return None
         from ofasys_tpu.ops.fused_ce import pick_chunks
 

@@ -122,14 +122,18 @@ class SpeculativeGenerator:
         # one readback round-trip
         seqs, scores, iters, L = jax.device_get((seqs, scores, iters, L))
         # decode decomposition: tokens emitted vs target forwards taken
-        # (prefill + one verify per loop iteration); mean acceptance =
-        # tokens/iteration - 1 correction token
+        # (prefill emits 1 token; each verify iteration emits accepted+1).
+        # Both per-verify rates use the LOOP-emitted tokens (L-2) over the
+        # verify count, so the prefill token never inflates them; with no
+        # verify iterations (prefill hit EOS) the rates are simply 0.
         n_tok = int(L) - 1
+        loop_tok = max(int(L) - 2, 0)
+        it = int(iters)
         self.last_stats = {
             "tokens": n_tok,
-            "target_steps": int(iters) + 1,
-            "tokens_per_verify": round(n_tok / max(int(iters), 1), 2),
-            "mean_accepted": round(max(n_tok - 1, 0) / max(int(iters), 1) - 1.0, 2),
+            "target_steps": it + 1,
+            "tokens_per_verify": round(loop_tok / it, 2) if it else 0.0,
+            "mean_accepted": round(loop_tok / it - 1.0, 2) if it else 0.0,
         }
 
         out: List[List[SequenceGeneratorOutput]] = []

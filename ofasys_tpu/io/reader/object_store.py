@@ -61,9 +61,14 @@ class ObjectStoreLineReader(BaseReader):
         from ofasys_tpu.io.reader.streaming import StreamingLineReader
 
         src = open_stream(self.url)
-        for raw in StreamingLineReader(src, chunk_bytes=chunk_bytes,
-                                       max_chunks=max_chunks):
-            yield raw.decode("utf-8")
+        # close on ANY exit (including the consumer breaking out of the
+        # generator early, which fires GeneratorExit here) — otherwise the
+        # prefetch producer thread blocks forever on its bounded queue and
+        # the object-store connection leaks
+        with StreamingLineReader(src, chunk_bytes=chunk_bytes,
+                                 max_chunks=max_chunks) as reader:
+            for raw in reader:
+                yield raw.decode("utf-8")
 
 
 class OssTextBinReader(BaseReader):

@@ -106,10 +106,11 @@ def build_from_config(data: Dict[str, Any]):
             if isinstance(tcfg.get("criterion"), dict):
                 # `criterion: {name: ..., label_smoothing: 0.2, ...}` — split
                 # the registry name from the field overrides
-                # (TaskConfig.criterion_args)
+                # (TaskConfig.criterion_args). An explicit criterion_args
+                # mapping merges UNDER these (dict-criterion wins on clash)
                 c = dict(tcfg["criterion"])
                 tcfg["criterion"] = c.pop("name", cfg.criterion)
-                tcfg["criterion_args"] = c
+                tcfg["criterion_args"] = {**(tcfg.get("criterion_args") or {}), **c}
             # keep the args as ONE dict value (dotted update would try to
             # navigate into plain-dict fields)
             crit_args = tcfg.pop("criterion_args", None)

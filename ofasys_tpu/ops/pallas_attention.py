@@ -613,11 +613,8 @@ def _flash_backward(
         # own (and zero) their output blocks.
         if order == "q":
             def clamp(f):
-                if not causal:
-                    return f
-                return lambda bh, a, b: f(
-                    bh, a, jnp.minimum(
-                        jnp.minimum(b, (a * Bq + Bq - 1) // Bk), n_k - 1))
+                # same grid meaning as the forward: a = q-block, b = k-block
+                return _causal_kmap(f, Bq, Bk, n_k) if causal else f
 
             qm = lambda bh, a, b: (bh, a, 0)
             km = clamp(lambda bh, a, b: (bh, b, 0))

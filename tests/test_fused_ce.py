@@ -159,3 +159,47 @@ def test_fused_plan_gates():
     b3 = dict(batch)
     b3["target"] = jnp.zeros(batch["target"].shape, jnp.float32)
     assert crit._fused_plan({"params": params}, extra, b3, logits) is None
+
+
+def test_fused_plan_declines_untied_and_nontext():
+    """Round-5 review fixes: the gate must decline (a) params carrying an
+    untied output projection / output bias (flax names 'output_projection'
+    / 'output_projection_bias'), and (b) non-TEXT target slots (image-code
+    targets attend at fp32)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ofasys_tpu import ModalityType
+
+    m, d = _chunkable_model()
+    rng = np.random.default_rng(0)
+    batch = copy_batch(d, rng, B=2, T=8)
+    params = m.init_params(jax.random.PRNGKey(0), batch["net_input"]["slots"])
+    crit = LabelSmoothedCrossEntropyCriterion(
+        LabelSmoothedCrossEntropyCriterionConfig(chunked_vocab=True),
+        pad_id=d.pad(),
+    )
+    logits, extra = m.apply({"params": params}, batch["net_input"]["slots"],
+                            deterministic=True)
+    assert crit._fused_plan({"params": params}, extra, batch, logits) is not None
+
+    # (a) untied projection anywhere in the tree -> decline
+    p_untied = dict(params)
+    p_untied["decoder_adaptor_fake"] = {
+        "output_projection": jnp.zeros((4, 4), jnp.float32)
+    }
+    assert crit._fused_plan({"params": p_untied}, extra, batch, logits) is None
+    p_bias = dict(params)
+    p_bias["decoder_adaptor_fake"] = {
+        "output_projection_bias": jnp.zeros((4,), jnp.float32)
+    }
+    assert crit._fused_plan({"params": p_bias}, extra, batch, logits) is None
+
+    # (b) non-TEXT target slot -> decline
+    slots = batch["net_input"]["slots"]
+    tgt = [s for s in slots if not s.is_src][0]
+    img_tgt = dataclasses.replace(tgt, modality=ModalityType.IMAGE)
+    b2 = dict(batch)
+    b2["net_input"] = {"slots": [s if s.is_src else img_tgt for s in slots]}
+    assert crit._fused_plan({"params": params}, extra, b2, logits) is None

@@ -99,10 +99,15 @@ def test_gcmvn_denormalize_matches_reference(ref):
     our_out = np.stack([ours.gcmvn_denormalize(x[b]) for b in range(x.shape[0])])
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-6, atol=1e-6)
 
-    # packed frames (T, C * n_frames_per_step) reshape contract
-    packed = x.reshape(2, 5, C)[0].reshape(-1, C * 2 // 2)  # (5, C)
+    # packed frames: a genuinely packed (T/2, C*2) layout must denormalize
+    # per-channel exactly like its unpacked (T, C) equivalent (the
+    # reshape(-1, num_mels) path in gcmvn_denormalize)
+    packed = x[0][:4].reshape(2, C * 2)                      # (T/2, 2C)
+    out_packed = ours.gcmvn_denormalize(packed)
+    assert out_packed.shape == packed.shape
     np.testing.assert_allclose(
-        ours.gcmvn_denormalize(packed), ref_out[0], rtol=1e-6, atol=1e-6
+        out_packed.reshape(-1, C), ref_out[0][:4].reshape(-1, C),
+        rtol=1e-6, atol=1e-6,
     )
 
 
