@@ -147,3 +147,37 @@ def test_sharded_save_no_target_restore(tmp_path):
     want = jax.tree.leaves(jax.device_get(state))
     for a, b in zip(leaves, want):
         np.testing.assert_array_equal(a, b)
+
+
+def test_hub_from_pretrained_on_sharded_checkpoint(tmp_path):
+    """A checkpoint written by a mesh-sharded Trainer.fit (fsdp x tensor —
+    params genuinely sharded, saved with no host gather) loads through
+    OFASys.from_pretrained on the plain host path and serves."""
+    from ofasys_tpu import GeneralistModel, OFASys, Task, Trainer
+    from ofasys_tpu.configure import ConfigStore, TrainerConfig
+
+    try:
+        recs = [{"src": w, "tgt": w} for w in ["alpha", "beta"]] * 8
+        task = Task(name="copy", instruction="[TEXT:src] -> [TEXT:tgt]")
+        task.cfg.dataset.batch_size = 8
+        task.add_dataset(recs, "train")
+        ConfigStore().set_active("ofasys.task", "default")
+
+        model = GeneralistModel(arch="tiny")
+        model.cfg.encoder.layers = model.cfg.decoder.layers = 2
+        model.cfg.dropout = 0.0
+        cfg = TrainerConfig()
+        cfg.optimization.lr = (1e-2,)
+        cfg.parallel.data = -1
+        cfg.parallel.fsdp = 2
+        cfg.parallel.tensor = 2
+        cfg.checkpoint.save_dir = str(tmp_path / "ckpt")
+        cfg.checkpoint.async_save = False
+        Trainer(cfg).fit(model, [task], max_update=4)
+
+        hub = OFASys.from_pretrained(str(tmp_path / "ckpt" / "checkpoint_last"))
+        out = hub.inference("[TEXT:src] -> [TEXT:tgt]", data={"src": "alpha"},
+                            beam_size=1, max_len_b=6)
+        assert isinstance(out.text, str)
+    finally:
+        ConfigStore().reset()

@@ -154,3 +154,29 @@ def test_fill_respects_configured_chunk_bytes():
     r = StreamingLineReader(src, chunk_bytes=32, prefetch=False)
     assert list(r) == [b"one", b"two"]
     assert all(n == 32 for n in src.requests)
+
+
+def test_object_store_iter_lines_closes_on_abandon(tmp_path):
+    """Breaking out of ObjectStoreLineReader.iter_lines mid-stream must close
+    the prefetch stream (producer thread unblocked, source closed) — the
+    round-5 leak fix."""
+    import threading
+
+    from ofasys_tpu.io.reader.object_store import ObjectStoreLineReader
+
+    payload = b"\n".join(b"line%d" % i for i in range(5000)) + b"\n"
+
+    class Src(ClosableSource):
+        pass
+
+    src = Src(payload, sizes=(512,) * 4)
+    p = tmp_path / "obj.txt"
+    p.write_bytes(payload)
+    r = ObjectStoreLineReader(str(p))
+    before = threading.active_count()
+    it = r.iter_lines(lambda url: src, chunk_bytes=64, max_chunks=2)
+    assert next(it) == "line0"
+    it.close()          # GeneratorExit -> with-block __exit__ -> stream close
+    time.sleep(0.3)
+    assert src.closed
+    assert threading.active_count() <= before + 1
