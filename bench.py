@@ -1102,12 +1102,72 @@ def run_longseq():
     if os.environ.get("BENCH_LONGSEQ_RAGGED", "1") == "1":
         flash_ragged = leg(True, "none", make_batch(True))
 
+    # multimodal long-context leg: long AUDIO (fbank conv-subsampled to ~T
+    # encoder tokens) -> TEXT transcript, flash through the audio adaptor's
+    # conv/mask path — the long-context story is not text-only
+    audio = None
+    if os.environ.get("BENCH_LONGSEQ_AUDIO", "1") == "1":
+        frames = 4 * T                       # subsample_stride 4 -> ~T enc tokens
+        Tt = max(T // 8, 128)                # transcript length
+        fb = jnp.asarray(rng.standard_normal((B, frames, 80)), jnp.float32)
+        a_tgt = np.asarray(rng.integers(d.nspecial, d.nspecial + 1000, size=(B, Tt)), np.int32)
+        a_prev = np.concatenate([np.full((B, 1), d.bos(), np.int32), a_tgt[:, :-1]], 1)
+        audio_batch = {
+            "net_input": {"slots": [
+                SlotBatch(ModalityType.AUDIO, True, {"inputs": fb}, "wav"),
+                SlotBatch(ModalityType.TEXT, False, {"inputs": jnp.asarray(a_prev)}, "txt"),
+            ]},
+            "target": jnp.asarray(a_tgt),
+        }
+        amodel = GeneralistModel(arch=ARCH)
+        amodel.cfg.dropout = 0.0
+        amodel.cfg.use_flash_attention = True
+        amodel.cfg.remat = "none"
+        amodel.cfg.max_source_positions = T + 8
+        amodel.cfg.max_target_positions = max(Tt, 1024)
+        amodel.cfg.use_self_attn_bias = False
+        amodel.initialize(d, active_adaptors=("text", "audio_fbank"),
+                          dtype=jnp.bfloat16)
+        acrit = LabelSmoothedCrossEntropyCriterion(
+            LabelSmoothedCrossEntropyCriterionConfig(), pad_id=d.pad())
+        aopt = build_optimizer(OptimizationConfig(lr=(1e-4,), warmup_updates=100),
+                               total_num_update=10000)
+        print(f"[longseq] audio leg frames={frames}: init", file=sys.stderr, flush=True)
+        aparams = amodel.init_params(jax.random.PRNGKey(0),
+                                     [audio_batch["net_input"]["slots"]])
+        astate = TrainState.create(aparams, aopt)
+        astep = jax.jit(make_multitask_train_step(amodel, {"asr": acrit}, aopt),
+                        donate_argnums=(0,))
+        rngk = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        astate, am = astep(astate, {"asr": audio_batch}, rngk)
+        _ = float(am["gnorm"])
+        print(f"[longseq] audio first step {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                astate, am = astep(astate, {"asr": audio_batch}, rngk)
+            _ = float(am["gnorm"])
+            rates.append((time.perf_counter() - t0) / 2)
+        rates.sort()
+        asec = rates[len(rates) // 2]
+        audio = {
+            "samples_per_sec": round(B / asec, 3),
+            "sec_per_update": round(asec, 3),
+            "frames": frames,
+            "enc_tokens": T,
+            "dec_tokens": Tt,
+        }
+
     out = {
         "metric": f"long-context train (text, B={B}, T={T} enc+dec, {ARCH} arch)",
         "value": flash["samples_per_sec"],
         "unit": "samples/sec/chip",
         "flash": flash,
         "flash_ragged_masked": flash_ragged,
+        "flash_audio_to_text": audio,
         "xla_dense": dense,
         "flash_speedup": round(flash["samples_per_sec"] / dense["samples_per_sec"], 2),
         "vs_baseline": round(flash["samples_per_sec"] / dense["samples_per_sec"], 2),
