@@ -870,7 +870,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def flash_attention(
-    q: jax.Array,                  # (B, Tq, H, D)
+    q: jax.Array,                  # (B, Tq, H, D) — or (B, H, Tq, D) bhtd
     k: jax.Array,
     v: jax.Array,
     *,
@@ -878,15 +878,29 @@ def flash_attention(
     mask: Optional[jax.Array] = None,   # bool (B, 1, 1, Tk) keep
     scale: float = 1.0,
     causal: bool = False,
+    layout: str = "bthd",
 ) -> jax.Array:
     """Drop-in for ops.attention.dot_product_attention (no-dropout path).
 
     Short/ragged sequences (the multi-task encoder mix runs T=196/120/64)
     are tile-aligned here by zero-padding: queries to the sublane tile,
     keys to the lane tile with the padding masked out, and the output
-    sliced back — the kernel itself only ever sees aligned blocks."""
-    B, Tq, H, D = q.shape
-    Tk = k.shape[1]
+    sliced back — the kernel itself only ever sees aligned blocks.
+
+    ``layout='bhtd'``: caller supplies (B, H, T, D) and gets (B, H, T, D)
+    back. The (BH, T, D) kernel view is then a FREE reshape — no standalone
+    (B,T,H,D)<->(B,H,T,D) relayout around the custom call. Callers should
+    transpose right after the q/k/v projections (XLA fuses that transpose
+    into the projection GEMM's epilogue — ~10 ms/step of layout copies on
+    the T=4096 longseq profile otherwise)."""
+    bhtd = layout == "bhtd"
+    if bhtd:
+        B, H, Tq, D = q.shape
+        Tk = k.shape[2]
+    else:
+        B, Tq, H, D = q.shape
+        Tk = k.shape[1]
+    t_ax = 2 if bhtd else 1
     Tq_p = _round_up(Tq, 16)
     Tk_p = _round_up(Tk, 128)
     if causal:
@@ -900,8 +914,10 @@ def flash_attention(
     if Tq_p != Tq or Tk_p != Tk:
         if mask is None:
             mask = jnp.ones((B, 1, 1, Tk), bool)
-        qp = [(0, 0), (0, Tq_p - Tq), (0, 0), (0, 0)]
-        kp = [(0, 0), (0, Tk_p - Tk), (0, 0), (0, 0)]
+        qp = [(0, 0)] * 4
+        kp = [(0, 0)] * 4
+        qp[t_ax] = (0, Tq_p - Tq)
+        kp[t_ax] = (0, Tk_p - Tk)
         q = jnp.pad(q, qp)
         k = jnp.pad(k, kp)
         v = jnp.pad(v, kp)
@@ -911,11 +927,16 @@ def flash_attention(
                 bias, [(0, 0), (0, 0), (0, Tq_p - Tq), (0, Tk_p - Tk)]
             )
         out = flash_attention(q, k, v, bias=bias, mask=mask, scale=scale,
-                              causal=causal)
-        return out[:, :Tq]
-    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, D)
-    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
+                              causal=causal, layout=layout)
+        return out[:, :, :Tq] if bhtd else out[:, :Tq]
+    if bhtd:
+        qf = q.reshape(B * H, Tq, D)
+        kf = k.reshape(B * H, Tk, D)
+        vf = v.reshape(B * H, Tk, D)
+    else:
+        qf = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, D)
+        kf = k.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
+        vf = v.transpose(0, 2, 1, 3).reshape(B * H, Tk, D)
     bf = None
     if bias is not None:
         bias = bias.astype(jnp.bfloat16)           # halve HBM reads
@@ -929,6 +950,8 @@ def flash_attention(
         m = jnp.broadcast_to(m, (B, 1, 1, Tk)).reshape(B, 1, Tk)
         mf = jnp.repeat(m, H, axis=0)              # (BH, 1, Tk)
     out = flash_attention_flat(qf, kf, vf, bf, mf, scale, causal)
+    if bhtd:
+        return out.reshape(B, H, Tq, D)
     return out.reshape(B, H, Tq, D).transpose(0, 2, 1, 3)
 
 

@@ -246,3 +246,35 @@ def test_flash_causal_clamp_ragged_multiblock(monkeypatch):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_bhtd_layout_matches(causal):
+    """layout='bhtd' (kernel-native (B,H,T,D) IO, no standalone relayout)
+    is numerically identical to the default layout, fwd + grads, including
+    the pad/slice path (ragged T)."""
+    B, T, H, D = 2, 200, 3, 32     # ragged: exercises the bhtd pad path
+    q, k, v = rand((B, T, H, D), 0), rand((B, T, H, D), 1), rand((B, T, H, D), 2)
+    mask = jnp.ones((B, 1, 1, T), bool).at[:, :, :, -9:].set(False)
+
+    ref = flash_attention(q, k, v, mask=mask, scale=0.2, causal=causal)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        mask=mask, scale=0.2, causal=causal, layout="bhtd",
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda q, k, v: fn(q, k, v).astype(jnp.float32).sum()
+
+    g_ref = jax.grad(loss(lambda q, k, v: flash_attention(
+        q, k, v, mask=mask, scale=0.2, causal=causal)), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss(lambda q, k, v: flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        mask=mask, scale=0.2, causal=causal, layout="bhtd",
+    ).transpose(0, 2, 1, 3)), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-5)
